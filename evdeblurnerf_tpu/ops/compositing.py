@@ -1,0 +1,68 @@
+"""Volumetric alpha compositing (raw -> rgb/depth/acc/weights).
+
+jit-safe jax.numpy; the cumulative transmittance uses ``jnp.cumprod`` which
+is deterministic under XLA (the reference flags torch's cumprod as a
+non-determinism source, ref: networks/nerf.py:115).
+
+Semantics match the PDRF/voxnerf compositor (ref: networks/pdrf/
+voxnerf.py:153-201) and the vanilla NeRF one (ref: networks/nerf.py:74-129):
+density is predicted for the first S-1 samples (the last interval's alpha is
+pinned to 1), with the ``1e-10`` transmittance epsilon preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def compute_weights(sigma, z_vals, rays_d, sigma_activate, noise=None,
+                    rmnearplane_mask: Optional[jnp.ndarray] = None):
+    """Per-sample compositing weights.
+
+    sigma: [R, S] raw density logits; z_vals: [R, S]; rays_d: [R, 3].
+    ``noise``: optional [R, S-1] regularization noise added pre-activation
+    (ref: voxnerf.py:174-179). ``rmnearplane_mask``: optional [R, S-1]
+    multiplier zeroing near-plane density at inference
+    (ref: voxnerf.py:181-185).
+
+    Returns weights [R, S].
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]                     # [R, S-1]
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    raw_sigma = sigma[..., :-1]
+    if noise is not None:
+        raw_sigma = raw_sigma + noise
+    density = sigma_activate(raw_sigma)
+    if rmnearplane_mask is not None:
+        density = density * rmnearplane_mask
+
+    alpha = 1.0 - jnp.exp(-density * dists)                        # [R, S-1]
+    alpha = jnp.concatenate([alpha, jnp.ones_like(alpha[..., :1])], -1)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]),
+                         1.0 - alpha + 1e-10], -1), -1)[..., :-1]
+    return alpha * trans                                           # [R, S]
+
+
+def composite(weights, rgb, z_vals, white_bkgd=False):
+    """Integrate per-sample rgb and depth with precomputed weights.
+
+    rgb: [R, S, C]; returns (rgb_map [R, C], depth_map [R], acc_map [R]).
+    """
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)
+    depth_map = jnp.sum(weights * z_vals, -1)
+    acc_map = jnp.sum(weights, -1)
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    return rgb_map, depth_map, acc_map
+
+
+def rmnearplane_mask(z_vals, render_rmnearplane):
+    """Near-plane density mask used at inference
+    (ref: voxnerf.py:181-185): zero density where z <= rmnearplane/128."""
+    mask = z_vals[..., 1:] > (render_rmnearplane / 128.0)
+    return mask.astype(z_vals.dtype)
