@@ -1,0 +1,89 @@
+"""Positional (frequency) encoding and per-image view embeddings.
+
+Frequency encoding is a pure function (no params), matching
+ref: networks/embedding.py:65-115: log-sampled bands 2^0..2^(m-1), per-band
+[sin, cos], input prepended. View embeddings (ref: networks/embedding.py:6-62)
+are flax modules.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import TorchLinear
+
+
+def positional_encoding_dim(multires: int, input_dim: int = 3,
+                            include_input: bool = True) -> int:
+    if multires <= 0:
+        return input_dim
+    return input_dim * ((1 if include_input else 0) + 2 * multires)
+
+
+def positional_encoding(x, multires: int, include_input: bool = True):
+    """[..., D] -> [..., D*(1+2*multires)] with per-band [sin, cos] order."""
+    if multires <= 0:
+        return x
+    freqs = 2.0 ** np.arange(multires, dtype=np.float32)
+    outputs = [x] if include_input else []
+    for freq in freqs:
+        outputs.append(jnp.sin(x * freq))
+        outputs.append(jnp.cos(x * freq))
+    return jnp.concatenate(outputs, axis=-1)
+
+
+class ViewEmbedding(nn.Module):
+    """Per-training-image latent code table (ref: networks/embedding.py:6-32)."""
+
+    num_embed: int
+    embed_dim: int
+    init_params: str = "zero"
+
+    @property
+    def out_channels(self):
+        return self.embed_dim
+
+    @nn.compact
+    def __call__(self, idx):
+        if self.init_params == "zero":
+            init = nn.initializers.zeros
+        elif self.init_params == "normal":
+            init = nn.initializers.normal(stddev=1.0)
+        elif self.init_params == "linspace":
+            def init(key, shape, dtype=jnp.float32):
+                lin = jnp.linspace(-1, 1, self.num_embed, dtype=dtype)
+                return jnp.tile(lin[:, None], (1, self.embed_dim))
+        else:
+            raise ValueError(f"Unknown init_params: {self.init_params}")
+        table = self.param("img_embed", init, (self.num_embed, self.embed_dim))
+        return table[idx]
+
+
+class ViewEmbeddingMLP(nn.Module):
+    """Embedding table + skip-connected MLP, DP-NeRF style
+    (ref: networks/embedding.py:35-62)."""
+
+    num_embed: int
+    embed_dim: int
+    D: int
+    W: int
+    skips: tuple = (4,)
+    init_params: str = "zero"
+
+    @property
+    def out_channels(self):
+        return self.W
+
+    @nn.compact
+    def __call__(self, idx):
+        embedded = ViewEmbedding(self.num_embed, self.embed_dim,
+                                 self.init_params, name="table")(idx)
+        h = embedded
+        for i in range(self.D):
+            h = TorchLinear(self.W, name=f"linear_{i}")(h)
+            h = nn.relu(h)
+            if i in self.skips:
+                h = jnp.concatenate([embedded, h], -1)
+        return h

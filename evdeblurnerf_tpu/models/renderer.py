@@ -1,0 +1,402 @@
+"""Renderer: field assembly + volumetric ray rendering.
+
+TPU-native counterpart of the reference's ``NeRFAll`` orchestrator
+(ref: networks/renderer.py:14-626). Differences by design:
+
+* everything here is jit-safe with fixed shapes; chunking for memory is done
+  by the *caller* splitting fixed-size ray batches (evaluation) — inside a
+  training step the whole batch renders as one fused XLA program;
+* randomness (stratified jitter, sigma noise, PDF draws) comes from explicit
+  PRNG keys;
+* the hierarchical resample re-evaluates the grids at the sorted merged
+  depths directly instead of gather-reordering cached features
+  (pointwise identical, ref: renderer.py:205-213, but avoids the gather).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import compositing
+from ..ops.sample_pdf import sample_pdf
+from ..utils.rays import get_ndc_rays
+from .embedding import positional_encoding
+from .layers import ACTIVATIONS
+from .nerf_mlp import NeRFMLP
+from .voxnerf import VoxelNeRF
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render/model configuration (hashable; safe as a jit constant)."""
+
+    mode: str = "c2f"
+    N_samples: int = 64
+    N_importance: int = 64
+    perturb: float = 1.0
+    use_viewdirs: bool = True
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    ndc: bool = True
+    near: float = 0.0
+    far: float = 1.0
+    H: int = 0
+    W: int = 0
+    focal: float = 0.0
+    render_rmnearplane: int = 0
+    rgb_activate: str = "sigmoid"
+    sigma_activate: str = "relu"
+    rgb_add_bias: bool = False
+    # vanilla NeRF MLPs
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    # c2f voxel fields
+    aabb: Tuple[Tuple[float, float, float], Tuple[float, float, float]] = (
+        (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+    coarse_num_layers: int = 2
+    coarse_num_layers_color: int = 3
+    coarse_hidden_dim: int = 64
+    coarse_hidden_dim_color: int = 64
+    coarse_app_dim: int = 32
+    coarse_app_n_comp: Tuple[int, ...] = (64, 16, 16)
+    coarse_n_voxels: int = 16777248
+    coarse_app_actfn: str = "none"
+    fine_num_layers: int = 2
+    fine_num_layers_color: int = 3
+    fine_hidden_dim: int = 256
+    fine_hidden_dim_color: int = 256
+    fine_app_dim: int = 32
+    fine_geo_feat_dim: int = 128
+    fine_app_n_comp: Tuple[int, ...] = (64, 16, 16)
+    fine_n_voxels: int = 134217984
+    fine_app_actfn: str = "none"
+    # kernel / AWP wiring (ref: renderer.py:26-39)
+    kernel_type: str = "none"
+    kernel_feat_cnl: int = 15
+    use_awp: bool = False
+
+    @property
+    def composite_feature_coarse(self) -> bool:
+        return self.kernel_type == "PBE"
+
+    @property
+    def composite_feature_fine(self) -> bool:
+        return False
+
+    @property
+    def extract_feature(self) -> str:
+        return "before_linear" if self.use_awp else "after_linear"
+
+
+def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
+    """Build a RenderConfig from parsed flags + dataset-derived values."""
+    return RenderConfig(
+        mode=args.mode,
+        N_samples=args.N_samples,
+        N_importance=args.N_importance,
+        perturb=args.perturb,
+        use_viewdirs=args.use_viewdirs,
+        multires=args.multires,
+        multires_views=args.multires_views,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        lindisp=args.lindisp,
+        ndc=not args.no_ndc,
+        near=float(near), far=float(far),
+        H=int(H), W=int(W), focal=float(focal),
+        render_rmnearplane=args.render_rmnearplane,
+        rgb_activate=args.rgb_activate,
+        sigma_activate=args.sigma_activate,
+        rgb_add_bias=args.rgb_add_bias,
+        netdepth=args.netdepth, netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine, netwidth_fine=args.netwidth_fine,
+        aabb=(tuple(float(v) for v in aabb[0]),
+              tuple(float(v) for v in aabb[1])),
+        coarse_num_layers=args.coarse_num_layers,
+        coarse_num_layers_color=args.coarse_num_layers_color,
+        coarse_hidden_dim=args.coarse_hidden_dim,
+        coarse_hidden_dim_color=args.coarse_hidden_dim_color,
+        coarse_app_dim=args.coarse_app_dim,
+        coarse_app_n_comp=tuple(args.coarse_app_n_comp or (64, 16, 16)),
+        coarse_n_voxels=args.coarse_n_voxels,
+        coarse_app_actfn=args.coarse_app_actfn,
+        fine_num_layers=args.fine_num_layers,
+        fine_num_layers_color=args.fine_num_layers_color,
+        fine_hidden_dim=args.fine_hidden_dim,
+        fine_hidden_dim_color=args.fine_hidden_dim_color,
+        fine_app_dim=args.fine_app_dim,
+        fine_geo_feat_dim=args.fine_geo_feat_dim,
+        fine_app_n_comp=tuple(args.fine_app_n_comp or (64, 16, 16)),
+        fine_n_voxels=args.fine_n_voxels,
+        fine_app_actfn=args.fine_app_actfn,
+        kernel_type=args.kernel_type,
+        kernel_feat_cnl=args.kernel_feat_cnl,
+        use_awp=args.kernel_use_awp,
+    )
+
+
+class Renderer(nn.Module):
+    """Coarse(+fine) radiance fields and the per-ray rendering pipeline."""
+
+    cfg: RenderConfig
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.mode == "c2f":
+            self.mlp_coarse = VoxelNeRF(
+                aabb=cfg.aabb, n_voxels=cfg.coarse_n_voxels,
+                app_n_comp=cfg.coarse_app_n_comp, app_dim=cfg.coarse_app_dim,
+                num_layers=cfg.coarse_num_layers,
+                hidden_dim=cfg.coarse_hidden_dim,
+                geo_feat_dim=cfg.kernel_feat_cnl,
+                num_layers_color=cfg.coarse_num_layers_color,
+                hidden_dim_color=cfg.coarse_hidden_dim_color,
+                add_bias_color=cfg.rgb_add_bias,
+                multires=cfg.multires, multires_views=cfg.multires_views,
+                composite_feature=cfg.composite_feature_coarse,
+                rgb_activate="relu", sigma_activate="relu",
+                app_actfn=cfg.coarse_app_actfn,
+                render_rmnearplane=cfg.render_rmnearplane,
+                name="mlp_coarse")
+            if cfg.N_importance > 0:
+                self.mlp_fine = VoxelNeRF(
+                    aabb=cfg.aabb, n_voxels=cfg.fine_n_voxels,
+                    app_n_comp=cfg.fine_app_n_comp, app_dim=cfg.fine_app_dim,
+                    num_layers=cfg.fine_num_layers,
+                    hidden_dim=cfg.fine_hidden_dim,
+                    geo_feat_dim=cfg.fine_geo_feat_dim,
+                    num_layers_color=cfg.fine_num_layers_color,
+                    hidden_dim_color=cfg.fine_hidden_dim_color,
+                    add_bias_color=cfg.rgb_add_bias,
+                    multires=cfg.multires, multires_views=cfg.multires_views,
+                    composite_feature=cfg.composite_feature_fine,
+                    rgb_activate="none", sigma_activate="relu",
+                    app_actfn=cfg.fine_app_actfn,
+                    render_rmnearplane=cfg.render_rmnearplane,
+                    name="mlp_fine")
+            else:
+                self.mlp_fine = None
+        elif cfg.mode == "nerf":
+            self.mlp_coarse = NeRFMLP(
+                D=cfg.netdepth, W=cfg.netwidth,
+                use_viewdirs=cfg.use_viewdirs, rgb_add_bias=cfg.rgb_add_bias,
+                extract_feature=cfg.extract_feature, name="mlp_coarse")
+            if cfg.N_importance > 0:
+                self.mlp_fine = NeRFMLP(
+                    D=cfg.netdepth_fine, W=cfg.netwidth_fine,
+                    use_viewdirs=cfg.use_viewdirs,
+                    rgb_add_bias=cfg.rgb_add_bias,
+                    extract_feature=cfg.extract_feature, name="mlp_fine")
+            else:
+                self.mlp_fine = None
+        else:
+            raise NotImplementedError(f"mode {cfg.mode}")
+
+    # ------------------------------------------------------------------
+    # vanilla NeRF field eval + composite (ref: networks/nerf.py:74-175)
+    # ------------------------------------------------------------------
+    def _run_nerf_field(self, mlp, pts, viewdirs, z_vals, rays_d, noise,
+                        is_train, composite_feature):
+        cfg = self.cfg
+        R, S = pts.shape[0], pts.shape[1]
+        pts_embedded = positional_encoding(pts.reshape(R * S, 3), cfg.multires)
+        views_embedded = None
+        if cfg.use_viewdirs:
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3))
+            views_embedded = positional_encoding(dirs.reshape(R * S, 3),
+                                                 cfg.multires_views)
+        raw, feature = mlp(pts_embedded, views_embedded)
+        raw = raw.reshape(R, S, -1)
+        feature = feature.reshape(R, S, -1) if feature is not None else None
+
+        rgb = ACTIVATIONS[cfg.rgb_activate](raw[..., :3])
+        sigma = raw[..., 3]
+        rm_mask = None
+        if not is_train and cfg.render_rmnearplane > 0:
+            rm_mask = compositing.rmnearplane_mask(z_vals, cfg.render_rmnearplane)
+        weights = compositing.compute_weights(
+            sigma, z_vals, rays_d, ACTIVATIONS[cfg.sigma_activate],
+            noise=noise, rmnearplane_mask=rm_mask)
+        rgb_map, depth_map, acc_map = compositing.composite(
+            weights, rgb, z_vals, white_bkgd=cfg.white_bkgd)
+        if composite_feature and feature is not None:
+            feature_map = jnp.sum(weights[..., None] * feature, -2)
+        else:
+            feature_map = feature
+        return rgb_map, depth_map, acc_map, weights, feature_map
+
+    # ------------------------------------------------------------------
+    # z sampling (ref: renderer.py:163-178)
+    # ------------------------------------------------------------------
+    def _sample_z(self, key, R, near, far, perturb):
+        cfg = self.cfg
+        t_vals = jnp.linspace(0.0, 1.0, cfg.N_samples)
+        if not cfg.lindisp:
+            z_vals = near * (1.0 - t_vals) + far * t_vals
+        else:
+            z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+        z_vals = jnp.broadcast_to(z_vals, (R, cfg.N_samples))
+        if perturb > 0.0:
+            mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+            lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+            t_rand = jax.random.uniform(key, z_vals.shape)
+            z_vals = lower + (upper - lower) * t_rand
+        return z_vals
+
+    def _noise(self, key, shape, is_train):
+        if self.cfg.raw_noise_std > 0.0 and is_train:
+            return jax.random.normal(key, shape) * self.cfg.raw_noise_std
+        return None
+
+    # ------------------------------------------------------------------
+    # core per-batch rendering (ref: renderer.py:129-264)
+    # ------------------------------------------------------------------
+    def render_rays(self, key, rays_o, rays_d, viewdirs, is_train=True,
+                    perturb: Optional[float] = None):
+        """Render a fixed-size ray batch.
+
+        rays_o/rays_d: [R, 3] (already NDC if applicable); viewdirs [R, 3]
+        or None. Returns a dict with rgb/depth/acc/weights (+ coarse rgb0...
+        and per-sample fine features for AWP).
+        """
+        cfg = self.cfg
+        R = rays_o.shape[0]
+        if perturb is None:
+            perturb = cfg.perturb if is_train else 0.0
+
+        k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
+        near = jnp.full((R, 1), cfg.near)
+        far = jnp.full((R, 1), cfg.far)
+        z_vals = self._sample_z(k_strat, R, near, far, perturb)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+        noise_c = self._noise(k_noise_c, (R, cfg.N_samples - 1), is_train)
+        ret = {}
+
+        if cfg.mode == "c2f":
+            ft_coarse = self.mlp_coarse.sample(pts)
+            rgb_map, depth_map, acc_map, weights, feature = self.mlp_coarse(
+                pts, viewdirs, ft_coarse, z_vals, rays_d, noise_c, is_train)
+
+            if cfg.N_importance > 0:
+                ret.update(rgb0=rgb_map, depth0=depth_map, acc0=acc_map)
+
+                z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                z_samples = sample_pdf(k_pdf, z_mid, weights[..., 1:-1],
+                                       cfg.N_importance, det=(perturb == 0.0))
+                z_samples = jax.lax.stop_gradient(z_samples)
+
+                z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+                pts_all = (rays_o[..., None, :]
+                           + rays_d[..., None, :] * z_all[..., :, None])
+                # re-evaluate both grids at the sorted depths (pointwise
+                # equal to the reference's gather-reorder, renderer.py:205-213)
+                ft = jnp.concatenate([self.mlp_coarse.sample(pts_all),
+                                      self.mlp_fine.sample(pts_all)], -1)
+                S_all = cfg.N_samples + cfg.N_importance
+                noise_f = self._noise(k_noise_f, (R, S_all - 1), is_train)
+                rgb_map, depth_map, acc_map, weights, feature = self.mlp_fine(
+                    pts_all, viewdirs, ft, z_all, rays_d, noise_f, is_train)
+                z_vals = z_all
+                ret["z_std"] = jnp.std(z_samples, axis=-1)
+        else:
+            rgb_map, depth_map, acc_map, weights, feature = self._run_nerf_field(
+                self.mlp_coarse, pts, viewdirs, z_vals, rays_d, noise_c,
+                is_train, composite_feature=cfg.composite_feature_coarse)
+
+            if cfg.N_importance > 0:
+                ret.update(rgb0=rgb_map, depth0=depth_map, acc0=acc_map)
+                z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                z_samples = sample_pdf(k_pdf, z_mid, weights[..., 1:-1],
+                                       cfg.N_importance, det=(perturb == 0.0))
+                z_samples = jax.lax.stop_gradient(z_samples)
+                z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+                pts_all = (rays_o[..., None, :]
+                           + rays_d[..., None, :] * z_all[..., :, None])
+                S_all = cfg.N_samples + cfg.N_importance
+                noise_f = self._noise(k_noise_f, (R, S_all - 1), is_train)
+                rgb_map, depth_map, acc_map, weights, feature = \
+                    self._run_nerf_field(
+                        self.mlp_fine, pts_all, viewdirs, z_all, rays_d,
+                        noise_f, is_train,
+                        composite_feature=cfg.composite_feature_fine)
+                z_vals = z_all
+                ret["z_std"] = jnp.std(z_samples, axis=-1)
+
+        ret.update(rgb_map=rgb_map, depth_map=depth_map, acc_map=acc_map,
+                   weights=weights, z_vals=z_vals)
+        if feature is not None:
+            ret["depth_feature"] = feature
+        return ret
+
+    def render(self, key, rays, is_train=True, perturb=None):
+        """Pack + render rays given as [R, 3, 2] (o, d stacked on last dim),
+        applying NDC projection and viewdir normalization
+        (ref: renderer.py:399-466)."""
+        cfg = self.cfg
+        rays_o, rays_d = rays[..., 0], rays[..., 1]
+        viewdirs = None
+        if cfg.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if cfg.ndc:
+            rays_o, rays_d = get_ndc_rays(cfg.H, cfg.W, cfg.focal, 1.0,
+                                          rays_o, rays_d)
+        ret = self.render_rays(key, rays_o, rays_d, viewdirs,
+                               is_train=is_train, perturb=perturb)
+        if cfg.use_awp:
+            ret["rays_d"] = rays_d
+        return ret
+
+    def coarse_render(self, key, rays, is_train=True, perturb=None):
+        """Single coarse pass returning (rgb, per-sample features); used by
+        the PBE kernel's stage-0 (ref: renderer.py:468-592)."""
+        cfg = self.cfg
+        rays_o, rays_d = rays[..., 0], rays[..., 1]
+        viewdirs = None
+        if cfg.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        if cfg.ndc:
+            rays_o, rays_d = get_ndc_rays(cfg.H, cfg.W, cfg.focal, 1.0,
+                                          rays_o, rays_d)
+        R = rays_o.shape[0]
+        if perturb is None:
+            perturb = cfg.perturb if is_train else 0.0
+        k_strat, k_noise = jax.random.split(key)
+        near = jnp.full((R, 1), cfg.near)
+        far = jnp.full((R, 1), cfg.far)
+        z_vals = self._sample_z(k_strat, R, near, far, perturb)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        noise = self._noise(k_noise, (R, cfg.N_samples - 1), is_train)
+        if cfg.mode == "c2f":
+            ft = self.mlp_coarse.sample(pts)
+            rgb, _, _, _, feat = self.mlp_coarse(
+                pts, viewdirs, ft, z_vals, rays_d, noise, is_train)
+        else:
+            rgb, _, _, _, feat = self._run_nerf_field(
+                self.mlp_coarse, pts, viewdirs, z_vals, rays_d, noise,
+                is_train, composite_feature=cfg.composite_feature_coarse)
+        return rgb, feat
+
+    def tv_loss(self):
+        """Grid TV regularizer x5 (ref: renderer.py:361-365)."""
+        if self.cfg.mode != "c2f":
+            return jnp.zeros(())
+        total = self.mlp_coarse.tv_loss_app()
+        if self.mlp_fine is not None:
+            total = total + self.mlp_fine.tv_loss_app()
+        return total * 5.0
+
+    def __call__(self, key, rays, is_train=True):
+        # default entry point for init/tracing
+        return self.render(key, rays, is_train=is_train)

@@ -1,0 +1,182 @@
+"""PDRF coarse-to-fine voxel fields (mode=c2f): TensoRF-style factored
+tri-plane/line appearance grids + small sigma/color MLPs.
+
+TPU-native reimplementation of ref: networks/pdrf/voxnerf.py. Grid lookups go
+through :mod:`evdeblurnerf_tpu.ops.triplane`; the two composite modes are:
+
+* CRR ("composite-then-color", ``composite_feature=True``): integrate the
+  per-sample geometry features over the ray, then run the color MLP once per
+  ray (ref: voxnerf.py:223-239);
+* FVR ("color-then-composite", ``composite_feature=False``): per-sample
+  color, then alpha-composite (ref: voxnerf.py:240-257).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import compositing, triplane
+from .embedding import positional_encoding
+from .layers import ACTIVATIONS, TorchLinear
+
+
+def compute_grid_size(aabb_min, aabb_max, n_voxels) -> Tuple[int, int, int]:
+    """Voxel count -> integer per-axis grid resolution
+    (ref: voxnerf.py:86-93, torch ``.long()`` truncation)."""
+    extent = np.asarray(aabb_max, np.float64) - np.asarray(aabb_min, np.float64)
+    voxel_size = float((extent.prod() / n_voxels) ** (1.0 / 3.0))
+    return tuple(int(x) for x in (extent / voxel_size))
+
+
+class VoxelNeRF(nn.Module):
+    """One field (coarse CRR or fine FVR stage).
+
+    ``aabb``: ((min3), (max3)) static python tuple.
+    """
+
+    aabb: Tuple[Tuple[float, float, float], Tuple[float, float, float]]
+    n_voxels: int
+    app_n_comp: Tuple[int, ...] = (64, 16, 16)
+    app_dim: int = 32
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    add_bias_color: bool = False
+    multires: int = 10                 # positional encoding bands for pts
+    multires_views: int = 4            # bands for view dirs
+    extra_app_dim: int = 0             # coarse features forwarded to the fine net
+    composite_feature: bool = True
+    rgb_activate: str = "relu"         # applied to features in the CRR path
+    sigma_activate: str = "relu"
+    app_actfn: str = "none"
+    render_rmnearplane: int = 0
+
+    def setup(self):
+        grid = compute_grid_size(self.aabb[0], self.aabb[1], self.n_voxels)
+        self.grid_size = grid
+        planes, lines = [], []
+        for i in range(3):
+            m0, m1 = triplane.MAT_MODE[i]
+            vec = triplane.VEC_MODE[i]
+            planes.append(self.param(
+                f"app_plane_{i}",
+                lambda key, shape: 0.1 * jax.random.normal(key, shape),
+                (self.app_n_comp[i], grid[m1], grid[m0])))
+            lines.append(self.param(
+                f"app_line_{i}",
+                lambda key, shape: 0.1 * jax.random.normal(key, shape),
+                (self.app_n_comp[i], grid[vec])))
+        self.app_plane = planes
+        self.app_line = lines
+        self.basis_mat = TorchLinear(self.app_dim, bias_mode="none",
+                                     name="basis_mat")
+
+        self.sigma_net = [
+            TorchLinear(
+                (1 + self.geo_feat_dim) if l == self.num_layers - 1
+                else self.hidden_dim,
+                bias_mode="none", name=f"sigma_net_{l}")
+            for l in range(self.num_layers)]
+        self.color_net = [
+            TorchLinear(
+                3 if l == self.num_layers_color - 1 else self.hidden_dim_color,
+                bias_mode="torch" if self.add_bias_color else "none",
+                name=f"color_net_{l}")
+            for l in range(self.num_layers_color)]
+
+    def normalize_coords(self, pts):
+        """World points -> [-1, 1] grid coords (ref: voxnerf.py:203-206)."""
+        aabb0 = jnp.asarray(self.aabb[0])
+        inv_size = 2.0 / (jnp.asarray(self.aabb[1]) - aabb0)
+        return (pts - aabb0) * inv_size - 1.0
+
+    def sample(self, pts):
+        """World pts [..., 3] -> appearance features [..., app_dim]
+        (ref: voxnerf.py:132-151, 203-208)."""
+        shape = pts.shape[:-1]
+        xyz = self.normalize_coords(pts.reshape(-1, 3))
+        feats = triplane.triplane_features(self.app_plane, self.app_line, xyz)
+        feats = self.basis_mat(feats)
+        return ACTIVATIONS[self.app_actfn](feats).reshape(*shape, self.app_dim)
+
+    def tv_loss_app(self):
+        """(ref: voxnerf.py:126-130)"""
+        return triplane.tv_loss_app(self.app_plane, self.app_line)
+
+    def __call__(self, pts, viewdirs, fts, z_vals, rays_d, noise=None,
+                 is_train=True):
+        """Field evaluation + compositing (ref: voxnerf.py:210-259).
+
+        pts [R, S, 3]; viewdirs [R, 3] or None; fts [R, S, C_app] sampled
+        features (possibly coarse+fine concat); z_vals [R, S]; rays_d [R, 3];
+        noise: optional [R, S-1] sigma noise.
+
+        Returns (color, depth, acc, weights, feature_map): color is [R, 3].
+        In the FVR path ``feature_map`` is the per-sample sigma-net features
+        [R, S, geo_feat_dim] (consumed by AWP, ref: voxnerf.py:220-221);
+        in the CRR path it is the ray-integrated feature [R, geo_feat_dim]
+        (consumed by the PBE kernel, ref: voxnerf.py:229 where raw2outputs
+        overwrites feature_map with the composited features).
+        """
+        R, S = pts.shape[0], pts.shape[1]
+        pts_embedded = positional_encoding(pts.reshape(R * S, 3), self.multires)
+        h = jnp.concatenate([fts.reshape(R * S, -1), pts_embedded], -1)
+        for l, layer in enumerate(self.sigma_net):
+            h = layer(h)
+            if l != self.num_layers - 1:
+                h = nn.relu(h)
+
+        feature_map = h[..., 1:].reshape(R, S, -1)
+        sigma = h[..., 0].reshape(R, S)
+        sigma_act = ACTIVATIONS[self.sigma_activate]
+
+        rm_mask = None
+        if not is_train and self.render_rmnearplane > 0:
+            rm_mask = compositing.rmnearplane_mask(z_vals, self.render_rmnearplane)
+
+        if self.composite_feature:
+            # CRR: composite the (activated) geometry features over the ray,
+            # then color once per ray.
+            weights = compositing.compute_weights(
+                sigma, z_vals, rays_d, sigma_act, noise=noise,
+                rmnearplane_mask=rm_mask)
+            feat_act = ACTIVATIONS[self.rgb_activate](feature_map)
+            feat_ray, depth_map, acc_map = compositing.composite(
+                weights, feat_act, z_vals)
+
+            dirs_embedded = positional_encoding(viewdirs, self.multires_views)
+            hc = jnp.concatenate([feat_ray, dirs_embedded], -1)
+            for l, layer in enumerate(self.color_net):
+                hc = layer(hc)
+                if l != self.num_layers_color - 1:
+                    hc = nn.relu(hc)
+            color = jax.nn.sigmoid(hc)
+            feature_map = feat_ray
+        else:
+            # FVR: per-sample color, then composite.
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3))
+            dirs_embedded = positional_encoding(dirs.reshape(R * S, 3),
+                                                self.multires_views)
+            hc = jnp.concatenate([h[..., 1:], dirs_embedded], -1)
+            for l, layer in enumerate(self.color_net):
+                hc = layer(hc)
+                if l != self.num_layers_color - 1:
+                    hc = nn.relu(hc)
+            color_s = jax.nn.sigmoid(hc).reshape(R, S, 3)
+
+            weights = compositing.compute_weights(
+                sigma, z_vals, rays_d, sigma_act, noise=noise,
+                rmnearplane_mask=rm_mask)
+            # rgb_activate is 'none' in this path (ref: voxnerf.py:289-291)
+            color_s = ACTIVATIONS[self.rgb_activate](color_s)
+            color, depth_map, acc_map = compositing.composite(
+                weights, color_s, z_vals)
+
+        return color, depth_map, acc_map, weights, feature_map
