@@ -1,0 +1,187 @@
+"""DSK / PBE deformable-sparse-kernel blur model.
+
+TPU-native reimplementation of the Deblur-NeRF/PDRF blur kernel
+(ref: networks/pdrf/blurmodel.py:9-224): a learnable per-image canonical 2D
+point pattern (tanh-bounded by ``kernel_hwindow``, randomly jittered during
+training), an MLP over [pattern-pos embedding, view embedding, (PBE: stage-0
+ray features), spatial embedding] predicting per-point pixel offsets,
+optional ray-origin translations and softmax weights, and re-derivation of
+world rays through the intrinsics and per-ray poses.
+
+Differences by design: the module is functional (explicit PRNG key for the
+pattern jitter, the view embedding is computed by the caller and passed in),
+and every shape is static so the whole kernel expansion jits into the train
+step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .embedding import positional_encoding, positional_encoding_dim
+from .layers import TorchLinear, dsk_linear_init
+
+
+class DSKBlurModel(nn.Module):
+    """DSK ("kernel") / PBE blur kernel.
+
+    Call with per-ray pixel coords, image indices, per-ray camera poses and
+    the per-image view embedding; returns expanded rays, softmax weights,
+    the align loss (DSK only) and the view embedding passthrough.
+    """
+
+    num_img: int
+    num_pt: int
+    kernel_hwindow: float
+    kernel_type: str = "DSK"          # "DSK" | "PBE"
+    img_embed_cnl: int = 32
+    random_hwindow: float = 0.25
+    random_mode: str = "input"
+    in_embed: int = 3                 # frequency bands over the 2D pattern pos
+    spatial_embed: int = 0
+    depth_embed: int = 0
+    num_hidden: int = 3
+    num_wide: int = 64
+    feat_cnl: int = 15
+    short_cut: bool = False
+    pattern_init_radius: float = 0.1
+    isglobal: bool = False
+    optim_trans: bool = False         # learn global per-point translations
+    optim_sv_trans: bool = False      # predict per-ray translations
+
+    def setup(self):
+        assert self.random_mode in ("input", "output")
+        assert self.kernel_type in ("DSK", "PBE")
+        pattern_num = 1 if self.isglobal else self.num_img
+        self.pattern_pos = self.param(
+            "pattern_pos",
+            lambda key, shape: (jax.random.normal(key, shape)
+                                * self.pattern_init_radius),
+            (pattern_num, self.num_pt, 2))
+        if self.optim_trans:
+            self.pattern_trans = self.param(
+                "pattern_trans", nn.initializers.zeros,
+                (pattern_num, self.num_pt, 2))
+
+        # MLP: num_hidden ReLU layers then a 2-layer head
+        # (ref: blurmodel.py:96-107); init xavier-normal w/ gain 0.1 for
+        # 2/3-channel outputs, zero bias (ref: utils/misc.py:95-102).
+        out_cnl = 1 + 2 + 2 if self.optim_sv_trans else 1 + 2
+        widths = [self.num_wide] * self.num_hidden
+        self.linears = [
+            TorchLinear(w, kernel_init=dsk_linear_init(w), bias_mode="zeros",
+                        name=f"linears_{i}")
+            for i, w in enumerate(widths)]
+        self.linears1 = [
+            TorchLinear(self.num_wide, kernel_init=dsk_linear_init(self.num_wide),
+                        bias_mode="zeros", name="linears1_0"),
+            TorchLinear(out_cnl, kernel_init=dsk_linear_init(out_cnl),
+                        bias_mode="zeros", name="linears1_1")]
+
+    @property
+    def in_embed_cnl(self) -> int:
+        return positional_encoding_dim(self.in_embed, 2) if self.in_embed > 0 else 0
+
+    def __call__(self, key, K, rays_x, rays_y, img_idx, poses, img_embed,
+                 feats: Optional[jnp.ndarray] = None, is_train: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        """Expand each input ray into ``num_pt`` blur-kernel rays.
+
+        key: PRNG key for the pattern jitter; K: [3,3] intrinsics;
+        rays_x/rays_y: [N] pixel-center coords (already +0.5);
+        img_idx: [N] int; poses: [N, 3, 4] per-ray c2w; img_embed: [N, C_img];
+        feats: [N, num_pt, feat_cnl] stage-0 ray features (PBE only).
+
+        Returns (new_rays [N, num_pt, 3, 2], weight [N, num_pt], align or None).
+        """
+        N = rays_x.shape[0]
+        img_embed_expand = jnp.broadcast_to(
+            img_embed[:, None, :], (N, self.num_pt, self.img_embed_cnl))
+
+        # canonical pattern (+jitter) (ref: blurmodel.py:121-133)
+        if self.isglobal:
+            pt_pos = jnp.broadcast_to(self.pattern_pos, (N, self.num_pt, 2))
+        else:
+            pt_pos = self.pattern_pos[img_idx]
+        pt_pos = jnp.tanh(pt_pos) * self.kernel_hwindow
+        if self.random_hwindow > 0 and self.random_mode == "input" and is_train:
+            pt_pos = pt_pos + (jax.random.normal(key, pt_pos.shape)
+                               * self.random_hwindow)
+        input_pos = pt_pos                      # first point = reference point
+        if self.in_embed > 0:
+            pt_pos_emb = positional_encoding(
+                pt_pos * (np.pi / self.kernel_hwindow), self.in_embed)
+        else:
+            pt_pos_emb = jnp.zeros((N, self.num_pt, 0))
+
+        x = [pt_pos_emb, img_embed_expand]
+        if self.kernel_type == "PBE":
+            if feats is None:
+                feats = jnp.zeros((N, self.num_pt, self.feat_cnl))
+            x.append(feats.reshape(N, self.num_pt, -1))
+        if self.spatial_embed > 0:
+            # pixel coords scaled to [-pi, pi] (ref: blurmodel.py:149-155)
+            W2 = 2.0 * K[0, 2]
+            H2 = 2.0 * K[1, 2]
+            spatialx = rays_x / (W2 / 2 / np.pi) - np.pi
+            spatialy = rays_y / (H2 / 2 / np.pi) - np.pi
+            spatial = positional_encoding(
+                jnp.stack([spatialx, spatialy], -1), self.spatial_embed)
+            x.append(jnp.broadcast_to(spatial[:, None, :],
+                                      (N, self.num_pt, spatial.shape[-1])))
+        x = jnp.concatenate(x, -1)
+
+        h = x
+        for layer in self.linears:
+            h = nn.relu(layer(h))
+        if self.short_cut:
+            h = jnp.concatenate([x, h], -1)
+        h = nn.relu(self.linears1[0](h))
+        out = self.linears1[1](h)
+
+        if self.optim_sv_trans:
+            delta_trans, delta_pos, weight = (out[..., :2], out[..., 2:4],
+                                              out[..., 4:5])
+        else:
+            delta_pos, weight = out[..., :2], out[..., 2:3]
+            delta_trans = None
+        if self.optim_trans:
+            delta_trans = (jnp.broadcast_to(self.pattern_trans, (N, self.num_pt, 2))
+                           if self.isglobal else self.pattern_trans[img_idx])
+        if delta_trans is None:
+            delta_trans = jnp.zeros_like(delta_pos)
+        delta_trans = delta_trans * 0.01
+
+        new_rays_xy = delta_pos + input_pos
+        if self.kernel_type == "PBE":
+            # pin point 0 to the sharp (undeformed, untranslated) ray
+            # (ref: blurmodel.py:187-189)
+            new_rays_xy = new_rays_xy.at[:, 0, :].set(0.0)
+            delta_trans = delta_trans.at[:, 0, :].set(0.0)
+            align = None
+        else:
+            # align loss on point-0 drift (ref: blurmodel.py:192-193)
+            align = (jnp.abs(new_rays_xy[:, 0, :]).mean()
+                     + jnp.abs(delta_trans[:, 0, :]).mean() * 10.0)
+        weight = jax.nn.softmax(weight[..., 0], axis=-1)
+
+        # re-derive world rays through K and the per-ray poses
+        # (ref: blurmodel.py:199-218)
+        rx = (rays_x[:, None] - K[0, 2] + new_rays_xy[..., 0]) / K[0, 0]
+        ry = -(rays_y[:, None] - K[1, 2] + new_rays_xy[..., 1]) / K[1, 1]
+        dirs = jnp.stack([rx - delta_trans[..., 0],
+                          ry - delta_trans[..., 1],
+                          -jnp.ones_like(rx)], -1)            # [N, pt, 3]
+        rays_d = jnp.sum(dirs[..., None, :] * poses[:, None, :3, :3], -1)
+        translation = jnp.stack([delta_trans[..., 0],
+                                 delta_trans[..., 1],
+                                 jnp.zeros_like(rx),
+                                 jnp.ones_like(rx)], -1)      # [N, pt, 4]
+        rays_o = jnp.sum(translation[..., None, :] * poses[:, None], -1)
+
+        return jnp.stack([rays_o, rays_d], -1), weight, align
