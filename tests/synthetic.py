@@ -1,0 +1,155 @@
+"""Synthetic LLFF+events scene generator for tests.
+
+Writes the exact on-disk layout the reference consumes
+(ref: data/loader.py:178-201, data/loader_events.py:150-194):
+``images_1/*.png`` + ``images_1/timestamps.npz``, ``poses_bounds.npy``,
+``all_poses_bounds.npy``, ``all_timestamps.npy``, ``events.h5``.
+
+The scene is a colored gradient sphere on a dark background seen by a
+forward-facing rig translating along x; events are generated from the
+log-intensity difference of consecutive renders, which makes the EGM data
+physically consistent (enough) for smoke training.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _llff_ondisk_pose(c2w_final: np.ndarray, h: int, w: int,
+                      focal: float) -> np.ndarray:
+    """Invert the loader's axis swap (final = [p1, -p0, p2, p3, hwf]) so that
+    loading reproduces ``c2w_final`` exactly (pre-scale)."""
+    p = np.concatenate([
+        -c2w_final[:, 1:2], c2w_final[:, 0:1], c2w_final[:, 2:4]], axis=1)
+    hwf = np.array([h, w, focal], dtype=np.float64).reshape(3, 1)
+    return np.concatenate([p, hwf], axis=1)          # [3, 5]
+
+
+def _render_image(c2w: np.ndarray, h: int, w: int, focal: float) -> np.ndarray:
+    """Tiny lambert-ish render of a unit sphere at (0, 0, -4)."""
+    i, j = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(i + 0.5 - w / 2) / focal,
+                     -(j + 0.5 - h / 2) / focal,
+                     -np.ones_like(i)], -1)
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+
+    center = np.array([0.0, 0.0, -4.0])
+    radius = 1.2
+    oc = rays_o - center
+    b = np.sum(oc * rays_d, -1)
+    c = np.sum(oc * oc, -1) - radius ** 2
+    a = np.sum(rays_d * rays_d, -1)
+    disc = b * b - a * c
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / a, 0.0)
+    pt = rays_o + t[..., None] * rays_d
+    normal = (pt - center) / radius
+    shade = np.clip(normal[..., 2] * 0.5 + 0.5, 0, 1)
+    img = np.stack([0.08 + 0.02 * i / w, 0.08 * np.ones_like(i),
+                    0.10 + 0.02 * j / h], -1)
+    sphere_col = np.stack([0.9 * shade, 0.5 * shade + 0.2, 0.3 * shade], -1)
+    img = np.where(hit[..., None], sphere_col, img)
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
+                         w: int = 32, focal: float = 30.0,
+                         poses_per_image: int = 4, exposure_frac: float = 0.5,
+                         events_threshold: float = 0.2, seed: int = 0):
+    """Write a synthetic scene under ``basedir``; returns a dict of the
+    ground-truth arrays for assertions."""
+    import cv2
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(basedir, "images_1"), exist_ok=True)
+    os.makedirs(os.path.join(basedir, "images"), exist_ok=True)
+
+    # camera path: translate along +x, slight y bob; look down -z
+    n_all = n_imgs * poses_per_image
+    all_t = np.linspace(0.0, 1.0, n_all)
+    centers = np.stack([0.6 * all_t - 0.3,
+                        0.05 * np.sin(all_t * 6.0),
+                        np.zeros_like(all_t)], -1)
+    c2ws = np.zeros((n_all, 3, 4))
+    c2ws[:, :3, :3] = np.eye(3)
+    c2ws[:, :3, 3] = centers
+
+    near, far = 2.0, 7.0
+    all_rows = np.stack([
+        np.concatenate([_llff_ondisk_pose(c2ws[k], h, w, focal).ravel(),
+                        [near, far]])
+        for k in range(n_all)])
+    np.save(os.path.join(basedir, "all_poses_bounds.npy"), all_rows)
+
+    # image timestamps (us): one frame per poses_per_image knots
+    t_us = (1000.0 + 1000.0 * np.arange(n_all)).astype(np.float64)
+    np.save(os.path.join(basedir, "all_timestamps.npy"), t_us)
+    img_knots = np.arange(n_imgs) * poses_per_image + poses_per_image // 2
+    img_tms = t_us[img_knots]
+    exp_half = 1000.0 * poses_per_image * exposure_frac / 2
+    np.savez(os.path.join(basedir, "images_1", "timestamps.npz"),
+             timestamps=img_tms,
+             timestamps_start=img_tms - exp_half,
+             timestamps_end=img_tms + exp_half)
+
+    # blurry frames: average of renders across the exposure
+    sharp, blurry = [], []
+    for k in img_knots:
+        subs = [_render_image(c2ws[np.clip(k + d, 0, n_all - 1)], h, w, focal)
+                for d in (-1, 0, 1)]
+        sharp.append(subs[1])
+        blurry.append(np.mean(subs, axis=0))
+    images = np.stack(blurry)
+    for i, img in enumerate(images):
+        cv2.imwrite(os.path.join(basedir, "images_1", f"{i:03d}.png"),
+                    (img[..., ::-1] * 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(basedir, "images", f"{i:03d}.png"),
+                    (img[..., ::-1] * 255).astype(np.uint8))
+
+    rows = all_rows[img_knots]
+    np.save(os.path.join(basedir, "poses_bounds.npy"), rows)
+
+    # events from log-intensity differences of a dense render sequence
+    lum_w = np.array([0.299, 0.587, 0.114])
+    xs, ys, ts, ps = [], [], [], []
+    dense_t = np.linspace(t_us[0], t_us[-1], n_all * 4)
+    prev_log = None
+    prev_t = None
+    for tq in dense_t:
+        k = np.interp(tq, t_us, np.arange(n_all))
+        k0 = int(np.floor(k))
+        frac = k - k0
+        c2w = c2ws[k0].copy()
+        if k0 + 1 < n_all:
+            c2w[:, 3] = (1 - frac) * c2ws[k0][:, 3] + frac * c2ws[k0 + 1][:, 3]
+        img = _render_image(c2w, h, w, focal)
+        log_img = np.log(img @ lum_w + 1e-3)
+        if prev_log is not None:
+            diff = log_img - prev_log
+            n_ev = np.floor(np.abs(diff) / events_threshold).astype(np.int64)
+            yy, xx = np.nonzero(n_ev)
+            for y0, x0 in zip(yy, xx):
+                cnt = min(int(n_ev[y0, x0]), 4)
+                pol = 1 if diff[y0, x0] > 0 else -1
+                tt = np.sort(rng.uniform(prev_t, tq, size=cnt))
+                xs.extend([x0] * cnt)
+                ys.extend([y0] * cnt)
+                ts.extend(tt.tolist())
+                ps.extend([pol] * cnt)
+        prev_log, prev_t = log_img, tq
+
+    order = np.argsort(np.asarray(ts, dtype=np.float64), kind="stable")
+    with h5py.File(os.path.join(basedir, "events.h5"), "w") as f:
+        f.create_dataset("x", data=np.asarray(xs, np.uint16)[order])
+        f.create_dataset("y", data=np.asarray(ys, np.uint16)[order])
+        f.create_dataset("t", data=np.asarray(ts, np.float64)[order])
+        f.create_dataset("p", data=np.asarray(ps, np.int8)[order])
+
+    return {"images": images, "sharp": np.stack(sharp), "c2ws": c2ws,
+            "img_tms": img_tms, "n_events": len(xs)}

@@ -1,0 +1,154 @@
+"""Data-layer tests: LLFF loader, samplers, event dataset, prefetcher."""
+
+import numpy as np
+import pytest
+
+from evdeblurnerf_tpu.config import default_args
+from evdeblurnerf_tpu.data import (ImageBatchSampler, LLFFDataset,
+                                   LLFFEventsDataset, Prefetcher,
+                                   RandomRaySampler, endless)
+from synthetic import make_synthetic_scene
+
+N_IMGS, H, W = 6, 24, 32
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    basedir = tmp_path_factory.mktemp("scene")
+    truth = make_synthetic_scene(str(basedir))
+    return str(basedir), truth
+
+
+def make_llff(scene_dir, **overrides):
+    args = default_args(llffhold=3, factor=None, use_viewdirs=True,
+                        events_tms_files_unit="us", events_tms_unit="us",
+                        **overrides)
+    ds = LLFFDataset(args, scene_dir, factor=None, recenter=True,
+                     bd_factor=0.75, spherify=False)
+    return args, ds
+
+
+def test_llff_loading(scene):
+    scene_dir, truth = scene
+    args, ds = make_llff(scene_dir)
+    assert ds.h == H and ds.w == W
+    # llffhold=3: test views 0,3; train the other 4
+    assert list(ds.i_test) == [0, 3]
+    assert ds.n_imgs == 4
+    assert ds.images.shape == (4, H, W, 3)
+    assert ds.poses.shape == (4, 3, 4)
+    # NDC bounds
+    assert ds.near == 0.0 and ds.far == 1.0
+    assert ds.render_poses.shape[0] == 120
+    # pixel values round-trip through png within quantization
+    np.testing.assert_allclose(ds.test_images[0], truth["images"][0],
+                               atol=2 / 255)
+
+
+def test_llff_batch(scene):
+    scene_dir, _ = scene
+    args, ds = make_llff(scene_dir)
+    ids = np.array([0, 1, W, ds.n_rays - 1])
+    batch = ds.batch(ids)
+    assert batch["rays"].shape == (4, 3, 2)
+    assert batch["rgbsf"].shape == (4, 3)
+    assert batch["poses"].shape == (4, 3, 4)
+    # ray 0 = image 0, pixel (0,0); +0.5 centering
+    assert batch["rays_x"][0] == 0.5 and batch["rays_y"][0] == 0.5
+    assert batch["images_idx"][0] == 0
+    assert batch["images_idx"][-1] == ds.n_imgs - 1
+    # ray dirs derive from the pose: origin equals pose translation
+    np.testing.assert_allclose(batch["rays"][0, :, 0], ds.poses[0, :, 3],
+                               atol=1e-6)
+
+
+def test_random_sampler_covers_epoch():
+    s = RandomRaySampler(100, 32, seed=1)
+    batches = list(iter(s))
+    assert len(batches) == 3
+    ids = np.concatenate(batches)
+    assert len(np.unique(ids)) == 96   # no repeats within the epoch
+
+
+def test_image_batch_sampler():
+    s = ImageBatchSampler(num_imgs=4, same_imgs_size=2, batch_size=8,
+                          image_resolution=(6, 5), seed=0)
+    seen = set()
+    for batch in s:
+        assert len(batch) == 8
+        imgs = np.unique(np.asarray(batch) // 30)
+        assert len(imgs) == 2
+        for rid in batch:
+            assert rid not in seen   # no pixel reuse across the epoch
+            seen.add(rid)
+
+
+def test_events_dataset(scene):
+    scene_dir, truth = scene
+    args, llff = make_llff(scene_dir, use_events=True)
+    ev = LLFFEventsDataset(args, scene_dir, llff.h, llff.w, llff.K,
+                           factor=None, bd_scale=llff.scale,
+                           closest_bds=llff.closest_bds,
+                           furthest_bds=llff.furthest_bds,
+                           recenter_partial=llff.recenter_partial,
+                           spherify_partial=llff.spherify_partial,
+                           events_tms_unit="us", events_tms_files_unit="us")
+    assert ev.events.shape[1] == 4
+    assert len(ev) > 0
+    batch = ev.batch(np.arange(16))
+    assert batch["events_rays_start"].shape == (16, 3, 2)
+    assert batch["events_rays_end"].shape == (16, 3, 2)
+    assert np.isfinite(batch["events_rays_start"]).all()
+    # polarity cumsums have the right signs
+    assert (batch["events_pos_pol_cumsum"] >= 0).all()
+    assert (batch["events_neg_pol_cumsum"] <= 0).all()
+    assert ((batch["events_pos_pol_cumsum"] != 0)
+            | (batch["events_neg_pol_cumsum"] != 0)).all()
+    # start/end rays differ (the camera moved between the pair)
+    assert not np.allclose(batch["events_rays_start"],
+                           batch["events_rays_end"])
+    # annealing step counter advanced
+    assert ev.global_step == 1
+
+
+def test_events_edi_prior(scene):
+    scene_dir, truth = scene
+    args, llff = make_llff(scene_dir, use_events=True)
+    ev = LLFFEventsDataset(args, scene_dir, llff.h, llff.w, llff.K,
+                           factor=None, bd_scale=llff.scale,
+                           closest_bds=llff.closest_bds,
+                           furthest_bds=llff.furthest_bds,
+                           recenter_partial=llff.recenter_partial,
+                           spherify_partial=llff.spherify_partial,
+                           events_tms_unit="us", events_tms_files_unit="us")
+    priors = ev.compute_edi_prior(llff.i_train, llff.images, steps=5,
+                                  cpos=0.2, cneg=0.2)
+    assert priors.shape == llff.images.shape
+    assert np.isfinite(priors).all()
+    # EDI should move the blurry frames toward the sharp ones on average
+    blur_err = np.abs(llff.images - truth["sharp"][llff.i_train]).mean()
+    edi_err = np.abs(priors - truth["sharp"][llff.i_train]).mean()
+    assert edi_err < blur_err * 1.25   # at minimum it must not blow up
+    llff.set_pts0_prior(priors)
+    batch = llff.batch(np.arange(8))
+    assert batch["rgbsf_pts0"].shape == (8, 3)
+
+
+def test_prefetcher(scene):
+    scene_dir, _ = scene
+    args, ds = make_llff(scene_dir)
+    sampler = endless(lambda: iter(RandomRaySampler(ds.n_rays, 64, seed=0)))
+    with Prefetcher(lambda: ds.batch(next(sampler))) as pf:
+        b1 = next(pf)
+        b2 = next(pf)
+    assert b1["rays"].shape == (64, 3, 2)
+    assert not np.allclose(np.asarray(b1["rays"]), np.asarray(b2["rays"]))
+
+
+def test_prefetcher_error_propagates():
+    def boom():
+        raise RuntimeError("producer failed")
+
+    with Prefetcher(boom) as pf:
+        with pytest.raises(RuntimeError, match="producer failed"):
+            next(pf)
