@@ -300,7 +300,11 @@ def _coerce_scalar(flag: Flag, raw):
         return None
     if isinstance(raw, str):
         raw = _unquote(raw)
-        if raw.lower() in ("none", "null"):
+        # "none" means python-None only for flags that default to None
+        # (e.g. ft_path, use_pts0_prior); for flags with a string default it
+        # is a real value (kernel_type=none, tone_mapping_type=none, ...)
+        if raw.lower() in ("none", "null") and (
+                flag.type is not str or flag.default is None):
             return None
     if flag.type is bool:
         if isinstance(raw, bool):

@@ -71,7 +71,11 @@ class RigidBlurringModel(nn.Module):
                                     name="v_linear")
         self.w_branch = [TorchLinear(self.W_w, name=f"w_branch_{i}")
                          for i in range(self.D_w)]
-        self.w_linear = TorchLinear(self.num_motion + 1, name="w_linear")
+        # one weight per output ray; the reference hardcodes num_motion+1
+        # (ref: dpnerf/blurmodel.py:32,49), which only matches its own warp
+        # output when use_origin=True — every published config. num_pt keeps
+        # the use_origin=False path consistent too.
+        self.w_linear = TorchLinear(self.num_pt, name="w_linear")
 
     def rbk_warp(self, rays, r, v):
         """Warp [N, 3, 2] rays by the per-motion screw transforms

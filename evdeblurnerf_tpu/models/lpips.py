@@ -1,0 +1,117 @@
+"""LPIPS (v0.1, AlexNet trunk) in JAX.
+
+Capability-parity counterpart of the reference's vendored LPIPS evaluator
+(ref: networks/lpips/lpips.py:140, networks/lpips/pretrained_networks.py):
+AlexNet feature taps -> channel-unit-normalize -> learned 1x1 linear heads
+-> spatial average -> sum. Pure-functional jax; weights load from a single
+``.npz`` (this image ships no pretrained trunk, so the scorer is optional —
+:func:`LPIPSScorer.from_env` returns None without weights).
+
+npz keys: ``conv{i}_w`` [out,in,kh,kw], ``conv{i}_b`` for i in 0..4 (the 5
+AlexNet conv layers), ``lin{i}_w`` [1,C_i,1,1] for the heads.
+:func:`convert_torch_weights` builds the npz from torchvision's
+``alexnet-*.pth`` plus an LPIPS ``alex.pth`` lin-head file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# input normalization (LPIPS ScalingLayer constants)
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# AlexNet conv trunk: (out, kernel, stride, pad), maxpool after layers 0, 1
+_ALEX = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
+         (256, 3, 1, 1), (256, 3, 1, 1)]
+_POOL_AFTER = {0, 1}
+
+
+def _conv(x, w, b, stride, pad):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out + b[None, :, None, None]
+
+
+def _maxpool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (0, 0), (0, 0)])
+
+
+def _normalize_tensor(x, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(x ** 2, axis=1, keepdims=True))
+    return x / (norm + eps)
+
+
+def lpips_distance(weights: dict, im1, im2):
+    """im1/im2: [B, 3, H, W] in [-1, 1]. Returns [B] distances."""
+    shift = jnp.asarray(_SHIFT)[None, :, None, None]
+    scale = jnp.asarray(_SCALE)[None, :, None, None]
+
+    def taps(x):
+        h = (x - shift) / scale
+        outs = []
+        for i, (_, _, stride, pad) in enumerate(_ALEX):
+            h = _conv(h, weights[f"conv{i}_w"], weights[f"conv{i}_b"],
+                      stride, pad)
+            h = jax.nn.relu(h)
+            outs.append(h)
+            if i in _POOL_AFTER:
+                h = _maxpool(h)
+        return outs
+
+    f1, f2 = taps(jnp.asarray(im1)), taps(jnp.asarray(im2))
+    total = 0.0
+    for i in range(len(_ALEX)):
+        d = (_normalize_tensor(f1[i]) - _normalize_tensor(f2[i])) ** 2
+        lin = weights[f"lin{i}_w"].reshape(1, -1, 1, 1)
+        total = total + jnp.mean(jnp.sum(d * lin, axis=1), axis=(1, 2))
+    return total
+
+
+class LPIPSScorer:
+    def __init__(self, weights: dict):
+        self.weights = {k: jnp.asarray(v) for k, v in weights.items()}
+        self._fn = jax.jit(lambda a, b: lpips_distance(self.weights, a, b))
+
+    @classmethod
+    def from_npz(cls, path: str) -> "LPIPSScorer":
+        return cls(dict(np.load(path)))
+
+    @classmethod
+    def from_env(cls) -> Optional["LPIPSScorer"]:
+        path = os.environ.get("EVDEBLURNERF_LPIPS_WEIGHTS")
+        if path and os.path.exists(path):
+            return cls.from_npz(path)
+        return None
+
+    def __call__(self, im1, im2) -> float:
+        """im1/im2: [H, W, 3] in [-1, 1]."""
+        a = np.transpose(np.asarray(im1, np.float32), (2, 0, 1))[None]
+        b = np.transpose(np.asarray(im2, np.float32), (2, 0, 1))[None]
+        return float(self._fn(a, b)[0])
+
+
+def convert_torch_weights(alexnet_pth: str, lin_pth: str, out_npz: str):
+    """Build the npz weight bundle from torch checkpoints (host tool)."""
+    import torch
+
+    alex = torch.load(alexnet_pth, map_location="cpu")
+    lin = torch.load(lin_pth, map_location="cpu")
+    out = {}
+    conv_ids = [0, 3, 6, 8, 10]          # torchvision alexnet.features idx
+    for i, cid in enumerate(conv_ids):
+        out[f"conv{i}_w"] = alex[f"features.{cid}.weight"].numpy()
+        out[f"conv{i}_b"] = alex[f"features.{cid}.bias"].numpy()
+    for i in range(5):
+        key = f"lin{i}.model.1.weight"
+        out[f"lin{i}_w"] = lin[key].numpy()
+    np.savez(out_npz, **out)

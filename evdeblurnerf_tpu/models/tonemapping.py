@@ -77,9 +77,11 @@ class CRF(nn.Module):
 
         res_x = apply_mlp(x_feat_in) * 0.1
         x_out = jax.nn.sigmoid(res_x + x_in).reshape(ori_shape)
-        if skip_learn:
-            return x
-        return x_out
+        if isinstance(skip_learn, bool):
+            return x if skip_learn else x_out
+        # traced boolean: select without recompiling at the learn-start
+        # boundary (ref gates with a python step compare, run_nerf.py:443)
+        return jnp.where(jnp.asarray(skip_learn), x, x_out)
 
 
 class TonemappingTransform(nn.Module):
@@ -124,6 +126,9 @@ class TonemappingTransform(nn.Module):
             return self.encode_rgb(x, **kwargs)
         if mode == "encode_luma":
             return self.encode_luma(x, **kwargs)
+        if mode == "init_all":
+            # trace both heads so init materializes the full param tree
+            return self.encode_rgb(x), self.encode_luma(x)
         raise RuntimeError(f"mode {mode!r} not recognized")
 
 

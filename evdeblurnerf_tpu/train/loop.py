@@ -1,0 +1,360 @@
+"""Experiment driver: the full train / eval / render-only lifecycle.
+
+Counterpart of ref: run_nerf.py:33-780. Orchestration is host-side python;
+every per-step computation runs inside the jitted train step
+(:mod:`evdeblurnerf_tpu.train.step`), fed by a background prefetch thread
+that assembles joint (image-ray + event) batches and shards them over the
+device mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import write_args_txt
+from ..data import (ImageBatchSampler, LLFFDataset, LLFFEventsDataset,
+                    Prefetcher, RandomEventSampler, RandomRaySampler, endless)
+from ..models.renderer import config_from_args
+from ..models.system import EvDeblurNeRF, kernel_config_from_args
+from ..models.tonemapping import TonemappingTransform
+from ..parallel import (batch_sharding, create_mesh, replicated_sharding)
+from ..utils.logger import Logger
+from ..utils.metrics import compute_img_metric
+from ..utils.misc import (annealing_interpolator,
+                          exponential_scale_fine_loss_weight, seed_everything,
+                          to8b)
+from .checkpoint import CheckpointManager
+from .evaluate import (apply_crf_host, build_chunk_renderer, depth_colormap,
+                       render_poses)
+from .optim import build_optimizer
+from .state import create_train_state
+from .step import build_train_step, compute_schedule_weights, mse2psnr
+
+
+def build_datasets(args):
+    """LLFF + optional event dataset + EDI prior (ref: run_nerf.py:52-116)."""
+    llff = LLFFDataset(args, args.datadir, args.factor, recenter=True,
+                       bd_factor=args.bd_factor, spherify=args.spherify,
+                       path_epi=args.render_epi,
+                       pose_transform_allknown=args.pose_transform_allknown)
+    ev = None
+    if args.use_events:
+        ev = LLFFEventsDataset(
+            args, args.datadir, llff.h, llff.w, llff.K, args.factor,
+            recenter=True, bd_factor=args.bd_factor, bd_scale=llff.scale,
+            closest_bds=llff.closest_bds, furthest_bds=llff.furthest_bds,
+            spherify=args.spherify,
+            recenter_partial=llff.recenter_partial,
+            spherify_partial=llff.spherify_partial,
+            events_tms_unit=args.events_tms_unit,
+            events_tms_files_unit=args.events_tms_files_unit,
+            color_events=args.event_egm_use_colorevents)
+        if args.use_pts0_prior == "edi":
+            llff.set_pts0_prior(ev.compute_edi_prior(
+                llff.i_train, llff.images, args.pts0_edi_steps,
+                args.events_threshold_pos, args.events_threshold_neg))
+    return llff, ev
+
+
+def build_model(args, llff):
+    cfg = config_from_args(args, llff.bounding_box, llff.h, llff.w,
+                           llff.K[0][0], llff.near, llff.far)
+    kcfg = kernel_config_from_args(args)
+    K_static = tuple(tuple(float(v) for v in row) for row in np.asarray(llff.K))
+    model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=llff.n_imgs,
+                         K=K_static)
+    crf = TonemappingTransform(
+        map_type_rgb=args.tone_mapping_type,
+        map_type_event=args.tone_mapping_events_type,
+        gamma=args.tone_mapping_gamma,
+        extra_features_event=(0 if args.tone_mapping_events_add_bii == "none"
+                              else 2))
+    return cfg, kcfg, model, crf
+
+
+def _round_to_devices(n: int, n_dev: int, name: str) -> int:
+    if n % n_dev:
+        new = max(n_dev, (n // n_dev) * n_dev)
+        print(f"[parallel] rounding {name} {n} -> {new} "
+              f"(multiple of {n_dev} devices)")
+        return new
+    return n
+
+
+def _image_sampler_factory(args, llff):
+    if args.ray_sampling_mode == "images":
+        return lambda: iter(ImageBatchSampler(
+            llff.n_imgs, args.ray_sampling_images_num, args.N_rand,
+            (llff.w, llff.h), seed=args.seed))
+    return lambda: iter(RandomRaySampler(llff.n_rays, args.N_rand,
+                                         seed=args.seed))
+
+
+def run_test_renders(args, llff, model, crf, variables, crf_params,
+                     chunk_fn, mesh, step, logger, expdir,
+                     skip_learn_crf: bool):
+    """Held-out view eval (ref: run_nerf.py:642-709)."""
+    rgbs, depths = render_poses(variables, chunk_fn, llff.test_poses,
+                                llff.h, llff.w, llff.K,
+                                chunk=args.chunk // 2, mesh=mesh)
+    rgbs = apply_crf_host(crf, crf_params, rgbs,
+                          skip_learn_crf=skip_learn_crf)
+    gt = np.asarray(llff.test_images)
+
+    metrics = {}
+    for name in ("mse", "psnr", "ssim", "lpips"):
+        v = compute_img_metric(rgbs, gt, metric=name)
+        if v is not None:
+            metrics[f"test/{name}"] = v
+    logger.scalars(metrics, step)
+
+    testdir = os.path.join(expdir, f"testset_{step:06d}")
+    os.makedirs(testdir, exist_ok=True)
+    import imageio.v2 as imageio
+
+    for i in range(rgbs.shape[0]):
+        imageio.imwrite(os.path.join(testdir, f"{i:03d}.png"), to8b(rgbs[i]))
+        logger.image(f"test/pred_{i}", rgbs[i], step)
+    logger.image("test/gt_0", gt[0], step)
+    logger.image("test/depth_0", depth_colormap(depths[0]) / 255.0, step)
+    logger.image("test/err_0",
+                 np.abs(rgbs[0] - gt[0]).clip(0, 1), step)
+
+    with open(os.path.join(expdir, "test_metrics.txt"), "a") as f:
+        parts = " ".join(f"{k.split('/')[1]}={v:.5f}"
+                         for k, v in metrics.items())
+        f.write(f"iter {step}: {parts}\n")
+    return metrics
+
+
+def run_video_render(args, llff, crf, variables, crf_params, chunk_fn, mesh,
+                     step, logger, skip_learn_crf: bool):
+    """Spiral/EPI novel-view video (ref: run_nerf.py:711-734)."""
+    rgbs, depths = render_poses(variables, chunk_fn, llff.render_poses,
+                                llff.h, llff.w, llff.K,
+                                chunk=args.chunk // 2,
+                                render_factor=args.render_factor, mesh=mesh)
+    rgbs = apply_crf_host(crf, crf_params, rgbs,
+                          skip_learn_crf=skip_learn_crf)
+    logger.video("video/rgb", rgbs, step)
+    disps = np.stack([depth_colormap(d) / 255.0 for d in depths])
+    logger.video("video/disp", disps, step)
+    return rgbs, depths
+
+
+def train(args, max_iters: Optional[int] = None):
+    """Full training lifecycle; returns the final TrainState (for tests)."""
+    if args.events_threshold_pos is None or args.events_threshold_neg is None:
+        args.events_threshold_pos = args.events_threshold
+        args.events_threshold_neg = args.events_threshold
+
+    seed_everything(args.seed)
+    llff, ev = build_datasets(args)
+    cfg, kcfg, model, crf = build_model(args, llff)
+
+    expdir = os.path.join(args.basedir, args.expname)
+    os.makedirs(expdir, exist_ok=True)
+    write_args_txt(args, os.path.join(expdir, "args.txt"))
+    if args.config and os.path.exists(args.config):
+        shutil.copyfile(args.config, os.path.join(expdir, "config.txt"))
+
+    # mesh + batch sizes
+    mesh = create_mesh()
+    n_dev = mesh.size
+    args.N_rand = _round_to_devices(args.N_rand, n_dev, "N_rand")
+    args.events_N_rand = _round_to_devices(args.events_N_rand, n_dev,
+                                           "events_N_rand")
+
+    # model/optimizer init from one representative batch
+    sampler = endless(_image_sampler_factory(args, llff))
+    init_batch = llff.batch(next(iter(
+        RandomRaySampler(llff.n_rays, args.N_rand, seed=args.seed))))
+    rays_info = {k: init_batch[k] for k in
+                 ("images_idx", "rays_x", "rays_y", "poses")}
+    key = jax.random.PRNGKey(args.seed)
+
+    import optax  # noqa: F401  (tx construction below)
+
+    tx_probe = build_optimizer(args.lrate, args.lrate_decay,
+                               args.lrate_warmup_iters,
+                               args.lrate_warmup_factor)
+    state = create_train_state(
+        model, crf, tx_probe, key, init_batch["rays"], rays_info,
+        crf_identity_prefit=args.tone_mapping_learn_init_identity)
+    if args.colornet_weightdecay:
+        tx = build_optimizer(args.lrate, args.lrate_decay,
+                             args.lrate_warmup_iters,
+                             args.lrate_warmup_factor,
+                             colornet_weightdecay=args.colornet_weightdecay,
+                             params=state.params)
+        state = state.replace(opt_state=tx.init(state.params))
+    else:
+        tx = tx_probe
+
+    # checkpoint auto-resume (ref: run_nerf.py:276-297)
+    ckpt_dir = (args.ft_path if args.ft_path
+                else os.path.join(expdir, "checkpoints"))
+    ckpt = CheckpointManager(ckpt_dir)
+    start = 0
+    if not args.no_reload:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            start, state = int(restored[0]), restored[1]
+            print(f"Resumed from step {start}")
+            if ev is not None:
+                ev.global_step = start
+
+    logger = Logger(log_dir=args.tbdir or args.basedir, expname=args.expname,
+                    use_wandb=not args.no_wandb and not args.render_only,
+                    use_tensorboard=args.use_tensorboard, args=args)
+
+    # replicate state over the mesh; batches shard on the ray axis
+    repl = replicated_sharding(mesh)
+    data_shard = batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+
+    chunk_fn = build_chunk_renderer(model, mesh=mesh)
+
+    def eval_variables(st):
+        v = {"params": st.params["nerf"]}
+        if st.batch_stats:
+            v["batch_stats"] = st.batch_stats
+        return v
+
+    # ------------------------------------------------------------------
+    # render-only (ref: run_nerf.py:337-414)
+    # ------------------------------------------------------------------
+    if args.render_only:
+        poses = llff.test_poses if args.render_test else llff.render_poses
+        name = "test" if args.render_test else "path"
+        outdir = os.path.join(expdir, f"renderonly_{name}_{start:06d}")
+        ver = 0
+        while os.path.exists(outdir + (f"_ver{ver}" if ver else "")):
+            ver += 1
+        outdir = outdir + (f"_ver{ver}" if ver else "")
+        os.makedirs(outdir)
+        rgbs, depths = render_poses(eval_variables(state), chunk_fn, poses,
+                                    llff.h, llff.w, llff.K,
+                                    chunk=args.chunk // 2,
+                                    render_factor=args.render_factor,
+                                    mesh=mesh, verbose=True)
+        rgbs = apply_crf_host(crf, state.params["crf"], rgbs,
+                              skip_learn_crf=False)
+        import imageio.v2 as imageio
+
+        for i in range(rgbs.shape[0]):
+            imageio.imwrite(os.path.join(outdir, f"{i:03d}.png"),
+                            to8b(rgbs[i]))
+        np.save(os.path.join(outdir, "disp.npy"), depths)
+        logger.video(f"renderonly/{name}", rgbs, start)
+        logger.close()
+        return state
+
+    # ------------------------------------------------------------------
+    # schedules (ref: run_nerf.py:121-142)
+    # ------------------------------------------------------------------
+    w_events_egm = annealing_interpolator(
+        args.event_egm_weight, args.event_egm_weight_end,
+        args.event_egm_weight_steps, args.event_egm_weight_scheduler) \
+        if args.use_events else (lambda s: 0.0)
+    w_pts0_target = annealing_interpolator(
+        args.pts0_target_weight, args.pts0_target_weight_end,
+        args.pts0_target_weight_steps, args.pts0_target_weight_scheduler) \
+        if args.use_pts0_prior else (lambda s: 0.0)
+    kernel_end_warmup_iter = -1
+    w_kernel = lambda s: 1.0  # noqa: E731
+    if args.kernel_start_warmup_mode != "step":
+        kernel_end_warmup_iter = (args.kernel_start_iter
+                                  + args.kernel_start_warmup_iters)
+        w_kernel = annealing_interpolator(
+            0.0, 1.0, kernel_end_warmup_iter, args.kernel_start_warmup_mode,
+            start_step=args.kernel_start_iter)
+
+    step_fn = build_train_step(model, crf, tx, args)
+
+    # prefetch pipelines
+    img_iter = sampler
+    img_prefetch = Prefetcher(lambda: llff.batch(next(img_iter)),
+                              sharding=data_shard)
+    ev_prefetch = None
+    if args.use_events and args.add_event_egm:
+        ev_iter = endless(lambda: iter(RandomEventSampler(
+            len(ev), args.events_N_rand, seed=args.seed)))
+        ev_prefetch = Prefetcher(lambda: ev.batch(next(ev_iter)),
+                                 sharding=data_shard)
+
+    N_iters = args.N_iters if max_iters is None else min(args.N_iters,
+                                                         start + max_iters)
+    fine_loss_weight = 0.1
+    base_key = jax.random.PRNGKey(args.seed + 1)
+
+    try:
+        for i in range(start, N_iters):
+            is_last = i == N_iters - 1
+            force_naive = i < args.kernel_start_iter
+            events_active = bool(
+                args.add_event_egm and ev_prefetch is not None
+                and (args.add_event_egm_startiter is None
+                     or i >= args.add_event_egm_startiter))
+
+            batch = next(img_prefetch)
+            ev_batch = next(ev_prefetch) if events_active else None
+
+            if (args.kernel_use_awp and args.kernel_awp_use_coarse_to_fine_opt
+                    and i % 10000 == 0):
+                fine_loss_weight = exponential_scale_fine_loss_weight(
+                    N_iters=args.N_iters,
+                    kernel_start_iter=args.kernel_start_iter,
+                    start_ratio=args.kernel_awp_fine_loss_start_ratio,
+                    end_ratio=args.kernel_awp_fine_loss_end_ratio, iter=i)
+
+            sw = compute_schedule_weights(
+                args, i, kernel_end_warmup_iter=kernel_end_warmup_iter,
+                w_kernel=w_kernel, w_pts0_target=w_pts0_target,
+                w_events_egm=w_events_egm,
+                fine_loss_weight=fine_loss_weight,
+                events_active=events_active)
+            step_key = jax.random.fold_in(base_key, i)
+
+            state, aux = step_fn(state, batch, ev_batch, step_key, sw,
+                                 force_naive, events_active)
+
+            if i % args.i_print == 0 or is_last:
+                loss = float(aux["loss"])
+                psnr = float(aux["psnr"] if i > args.blur_loss_after
+                             else aux.get("pts0_psnr", aux["psnr"]))
+                print(f"[{args.expname}] iter {i}: loss {loss:.5f} "
+                      f"psnr {psnr:.2f}")
+            if i % args.i_tensorboard == 0 or is_last:
+                logger.scalars(
+                    {f"train/{k}": float(v) for k, v in aux.items()
+                     if np.ndim(v) == 0}, i)
+
+            if (i % args.i_weights == 0 and i > 0) or is_last:
+                # keyed by the post-update step count so resume continues
+                # exactly where training left off
+                ckpt.save(int(state.step), jax.device_get(state),
+                          force=is_last)
+            if (i % args.i_testset == 0 and i > 0) or is_last:
+                run_test_renders(
+                    args, llff, model, crf, eval_variables(state),
+                    state.params["crf"], chunk_fn, mesh, i, logger, expdir,
+                    skip_learn_crf=i < args.tone_mapping_start_learn_iter)
+            if i % args.i_video == 0 and i > 0:
+                run_video_render(
+                    args, llff, crf, eval_variables(state),
+                    state.params["crf"], chunk_fn, mesh, i, logger,
+                    skip_learn_crf=i < args.tone_mapping_start_learn_iter)
+    finally:
+        img_prefetch.close()
+        if ev_prefetch is not None:
+            ev_prefetch.close()
+        ckpt.wait()
+        logger.close()
+
+    return state

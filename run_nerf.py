@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""CLI entry point: ``python run_nerf.py --config configs/<exp>.txt [...]``.
+
+Reference-compatible flag surface and config files (ref: run_nerf.py,
+options.py); the lifecycle lives in evdeblurnerf_tpu.train.loop.
+"""
+
+from evdeblurnerf_tpu.config import parse_args
+from evdeblurnerf_tpu.train.loop import train
+
+
+def main():
+    args = parse_args()
+    print("RANDOM SEED", args.seed)
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
