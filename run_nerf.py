@@ -5,6 +5,15 @@ Reference-compatible flag surface and config files (ref: run_nerf.py,
 options.py); the lifecycle lives in evdeblurnerf_tpu.train.loop.
 """
 
+import os
+
+# honor an explicit JAX_PLATFORMS even when a sitecustomize pre-pins the
+# backend via jax.config (the env var alone is silently overridden there)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from evdeblurnerf_tpu.config import parse_args
 from evdeblurnerf_tpu.train.loop import train
 
