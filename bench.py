@@ -130,6 +130,16 @@ def main():
     state, aux = one(state)
     jax.block_until_ready(aux["loss"])
 
+    import os
+
+    if os.environ.get("BENCH_DEBUG"):
+        for it in range(5):
+            t0 = time.perf_counter()
+            state, aux = one(state)
+            loss = float(aux["loss"])        # blocks
+            print(f"step {it}: {time.perf_counter() - t0:.4f}s "
+                  f"loss={loss:.5f}", flush=True)
+
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -233,6 +233,16 @@ FLAG_SPEC = [
     _flag("render_factor", int, 0),
     _bool("render_epi"),
 
+    # TPU-framework extensions (no reference counterpart)
+    _bool("remat", default=True,
+          help="rematerialize render activations in backward (fits the "
+               "paper-scale step in one chip's HBM)"),
+    _flag("profile_start_step", int, -1,
+          help="capture a jax.profiler trace starting at this step"),
+    _flag("profile_num_steps", int, 5),
+    _flag("profile_dir", str, None,
+          help="trace output dir (default <expdir>/profile)"),
+
     # Logging / saving
     _flag("i_print", int, 200),
     _flag("i_tensorboard", int, 200),

@@ -57,6 +57,7 @@ class VoxelNeRF(nn.Module):
     sigma_activate: str = "relu"
     app_actfn: str = "none"
     render_rmnearplane: int = 0
+    packed_sampling: bool = True       # neighbor-packed single-gather path
 
     def setup(self):
         grid = compute_grid_size(self.aabb[0], self.aabb[1], self.n_voxels)
@@ -99,10 +100,20 @@ class VoxelNeRF(nn.Module):
 
     def sample(self, pts):
         """World pts [..., 3] -> appearance features [..., app_dim]
-        (ref: voxnerf.py:132-151, 203-208)."""
+        (ref: voxnerf.py:132-151, 203-208).
+
+        The packed path gathers one neighbor-packed row per plane/line
+        instead of 4+2 (see ops/triplane.py); packing is a pure function of
+        the params so XLA CSE computes it once per step across all sample()
+        calls."""
         shape = pts.shape[:-1]
         xyz = self.normalize_coords(pts.reshape(-1, 3))
-        feats = triplane.triplane_features(self.app_plane, self.app_line, xyz)
+        if self.packed_sampling:
+            pp, pl_ = triplane.pack_grids(self.app_plane, self.app_line)
+            feats = triplane.triplane_features_packed(pp, pl_, xyz)
+        else:
+            feats = triplane.triplane_features(self.app_plane, self.app_line,
+                                               xyz)
         feats = self.basis_mat(feats)
         return ACTIVATIONS[self.app_actfn](feats).reshape(*shape, self.app_dim)
 

@@ -321,8 +321,18 @@ def train(args, max_iters: Optional[int] = None):
                 events_active=events_active)
             step_key = jax.random.fold_in(base_key, i)
 
+            # jax.profiler trace window (SURVEY §5: the reference has no
+            # tracing; per-pose prints only)
+            if i == args.profile_start_step:
+                jax.profiler.start_trace(
+                    args.profile_dir or os.path.join(expdir, "profile"))
             state, aux = step_fn(state, batch, ev_batch, step_key, sw,
                                  force_naive, events_active)
+            if (args.profile_start_step >= 0
+                    and i == args.profile_start_step
+                    + args.profile_num_steps - 1):
+                jax.block_until_ready(aux["loss"])
+                jax.profiler.stop_trace()
 
             if i % args.i_print == 0 or is_last:
                 loss = float(aux["loss"])

@@ -147,17 +147,28 @@ def build_train_step(model, crf_module, tx, args):
         return crf_module.apply({"params": params["crf"]}, x, mode=mode,
                                 skip_learn_crf=sw.skip_learn_crf, **kw)
 
+    remat = bool(getattr(args, "remat", True))
+
     def nerf_apply(params, batch_stats, key, rays, rays_info, force_naive):
-        variables = {"params": params["nerf"]}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-            out, new_state = model.apply(
-                variables, key, rays, rays_info, force_naive=force_naive,
-                return_pts0_rgb=True, mutable=["batch_stats"])
-            return out, new_state.get("batch_stats", batch_stats)
-        out = model.apply(variables, key, rays, rays_info,
-                          force_naive=force_naive, return_pts0_rgb=True)
-        return out, batch_stats
+        def fwd(params, batch_stats, key, rays, rays_info):
+            variables = {"params": params["nerf"]}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                out, new_state = model.apply(
+                    variables, key, rays, rays_info, force_naive=force_naive,
+                    return_pts0_rgb=True, mutable=["batch_stats"])
+                return out, new_state.get("batch_stats", batch_stats)
+            out = model.apply(variables, key, rays, rays_info,
+                              force_naive=force_naive, return_pts0_rgb=True)
+            return out, batch_stats
+
+        if remat:
+            # rematerialize render activations in the backward pass: trades
+            # ~1/3 extra FLOPs for fitting the full paper-scale step in one
+            # chip's HBM (the 192-sample dual-stage render dominates peak)
+            fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.nothing_saveable)
+        return fwd(params, batch_stats, key, rays, rays_info)
 
     def ev_extra_feat(ev_batch):
         """CRF conditioning features from the BII cumsums

@@ -1,0 +1,97 @@
+"""Packed-gather tri-plane path must match the 4-corner reference path
+exactly (values and gradients), including out-of-range coordinates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evdeblurnerf_tpu.ops import triplane
+
+
+@pytest.fixture(scope="module")
+def grids():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    planes = [jax.random.normal(ks[0], (8, 13, 17)),
+              jax.random.normal(ks[1], (4, 9, 17)),
+              jax.random.normal(ks[2], (4, 9, 13))]
+    lines = [jax.random.normal(ks[3], (8, 9)),
+             jax.random.normal(ks[4], (4, 13)),
+             jax.random.normal(ks[5], (4, 17))]
+    return planes, lines
+
+
+def coords(n=500, lo=-1.3, hi=1.3, seed=1):
+    # deliberately includes out-of-range (|c| > 1) points: the reference
+    # zeros-pads there (ref: voxnerf.py grid_sample padding_mode zeros)
+    return jax.random.uniform(jax.random.PRNGKey(seed), (n, 3),
+                              minval=lo, maxval=hi)
+
+
+def test_plane_packed_matches_reference(grids):
+    planes, _ = grids
+    xyz = coords()
+    for plane in planes:
+        packed = triplane.pack_plane(plane)
+        ref = triplane.grid_sample_2d(plane, xyz[:, 0], xyz[:, 1])
+        got = triplane.grid_sample_2d_packed(
+            packed, plane.shape[1], plane.shape[2], xyz[:, 0], xyz[:, 1])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+
+
+def test_line_packed_matches_reference(grids):
+    _, lines = grids
+    xyz = coords()
+    for line in lines:
+        packed = triplane.pack_line(line)
+        ref = triplane.grid_sample_1d(line, xyz[:, 2])
+        got = triplane.grid_sample_1d_packed(packed, line.shape[1],
+                                             xyz[:, 2])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+
+
+def test_triplane_features_packed_matches(grids):
+    planes, lines = grids
+    xyz = coords()
+    ref = triplane.triplane_features(planes, lines, xyz)
+    pp, pl_ = triplane.pack_grids(planes, lines)
+    got = triplane.triplane_features_packed(pp, pl_, xyz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+def test_packed_gradients_match(grids):
+    planes, lines = grids
+    xyz = coords(n=200)
+    g = jax.random.normal(jax.random.PRNGKey(7),
+                          (200, sum(p.shape[0] for p in planes)))
+
+    def loss_ref(planes, lines):
+        return jnp.sum(triplane.triplane_features(planes, lines, xyz) * g)
+
+    def loss_packed(planes, lines):
+        pp, pl_ = triplane.pack_grids(planes, lines)
+        return jnp.sum(triplane.triplane_features_packed(pp, pl_, xyz) * g)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(planes, lines)
+    gp = jax.grad(loss_packed, argnums=(0, 1))(planes, lines)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_exact_grid_points(grids):
+    """At exact texel centers both paths return the texel value."""
+    planes, _ = grids
+    plane = planes[0]
+    C, H, W = plane.shape
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    gx = xs.ravel() / (W - 1) * 2 - 1
+    gy = ys.ravel() / (H - 1) * 2 - 1
+    packed = triplane.pack_plane(plane)
+    got = triplane.grid_sample_2d_packed(packed, H, W, gx, gy)
+    expect = jnp.moveaxis(plane, 0, -1).reshape(-1, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-6)
