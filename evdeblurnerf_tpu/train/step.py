@@ -277,6 +277,14 @@ def build_train_step(model, crf_module, tx, args):
             (_, (aux, new_bs)), grads = grad_fn(
                 state.params, state.batch_stats, key, batch, ev_batch, sw,
                 force_naive, events_active)
+            if not getattr(args, "no_log_grads_norm", False):
+                # per-parameter L2 grad norms (ref: utils/grads.py:5-17,
+                # logged by default, run_nerf.py:736-773) — scalars only,
+                # transferred lazily at logging cadence
+                for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    aux[f"grads/{name}"] = jnp.sqrt(jnp.sum(leaf * leaf))
+                aux["grads/total"] = optax.global_norm(grads)
             if clip_norm is not None:
                 # clip only the nerf tree (ref: run_nerf.py:596-599)
                 gnorm = optax.global_norm(grads["nerf"])

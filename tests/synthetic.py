@@ -60,7 +60,8 @@ def _render_image(c2w: np.ndarray, h: int, w: int, focal: float) -> np.ndarray:
 def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
                          w: int = 32, focal: float = 30.0,
                          poses_per_image: int = 4, exposure_frac: float = 0.5,
-                         events_threshold: float = 0.2, seed: int = 0):
+                         events_threshold: float = 0.2, seed: int = 0,
+                         rectified_coords: bool = False):
     """Write a synthetic scene under ``basedir``; returns a dict of the
     ground-truth arrays for assertions."""
     import cv2
@@ -145,11 +146,36 @@ def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
         prev_log, prev_t = log_img, tq
 
     order = np.argsort(np.asarray(ts, dtype=np.float64), kind="stable")
-    with h5py.File(os.path.join(basedir, "events.h5"), "w") as f:
-        f.create_dataset("x", data=np.asarray(xs, np.uint16)[order])
-        f.create_dataset("y", data=np.asarray(ys, np.uint16)[order])
-        f.create_dataset("t", data=np.asarray(ts, np.float64)[order])
-        f.create_dataset("p", data=np.asarray(ps, np.int8)[order])
+    xs_arr = np.asarray(xs, np.float64)[order]
+    ys_arr = np.asarray(ys, np.float64)[order]
+    if rectified_coords:
+        # CDAVIS-style rectified float coordinates + the undistortion map
+        # that produced them (ref: data/loader_events.py:221-232): pixel
+        # (i, j) maps to rectified (i + dx(i,j), j + dy(i,j))
+        def rect_x(i, j):
+            return (i + 0.25 + 0.001 * j).astype(np.float32)
+
+        def rect_y(i, j):
+            return (j + 0.125 + 0.002 * i).astype(np.float32)
+
+        xi, yi = xs_arr.astype(np.int64), ys_arr.astype(np.int64)
+        xs_arr = rect_x(xi.astype(np.float64), yi.astype(np.float64))
+        ys_arr = rect_y(xi.astype(np.float64), yi.astype(np.float64))
+        ii, jj = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64), indexing="xy")
+        np.savez(os.path.join(basedir, "ev_map.npz"),
+                 inv_mapx=rect_x(ii, jj), inv_mapy=rect_y(ii, jj))
+        with h5py.File(os.path.join(basedir, "events.h5"), "w") as f:
+            f.create_dataset("x", data=xs_arr.astype(np.float32))
+            f.create_dataset("y", data=ys_arr.astype(np.float32))
+            f.create_dataset("t", data=np.asarray(ts, np.float64)[order])
+            f.create_dataset("p", data=np.asarray(ps, np.int8)[order])
+    else:
+        with h5py.File(os.path.join(basedir, "events.h5"), "w") as f:
+            f.create_dataset("x", data=xs_arr.astype(np.uint16))
+            f.create_dataset("y", data=ys_arr.astype(np.uint16))
+            f.create_dataset("t", data=np.asarray(ts, np.float64)[order])
+            f.create_dataset("p", data=np.asarray(ps, np.int8)[order])
 
     return {"images": images, "sharp": np.stack(sharp), "c2ws": c2ws,
             "img_tms": img_tms, "n_events": len(xs)}
