@@ -58,6 +58,7 @@ def main():
         tone_mapping_events_type="learn",
         tone_mapping_events_add_bii="pos-neg",
         lrate=5e-3, lrate_decay=10, seed=0,
+        remat=False, grad_accum=2,
     )
     args.events_threshold_pos = args.events_threshold
     args.events_threshold_neg = args.events_threshold
@@ -144,7 +145,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = one(state)
-    jax.block_until_ready(aux["loss"])
+    # host transfer of the last loss forces the whole chained sequence;
+    # block_until_ready alone does NOT synchronize on the axon backend
+    float(aux["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = RAYS_PER_ITER / dt

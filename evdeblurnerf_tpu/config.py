@@ -237,6 +237,10 @@ FLAG_SPEC = [
     _bool("remat", default=True,
           help="rematerialize render activations in backward (fits the "
                "paper-scale step in one chip's HBM)"),
+    _flag("grad_accum", int, 1,
+          help="microbatched gradient accumulation inside the jitted step; "
+               "cuts activation peak 1/N with no recompute (prefer over "
+               "--remat when the microbatches fit)"),
     _flag("profile_start_step", int, -1,
           help="capture a jax.profiler trace starting at this step"),
     _flag("profile_num_steps", int, 5),

@@ -209,9 +209,22 @@ def train(args, max_iters: Optional[int] = None):
             if ev is not None:
                 ev.global_step = start
 
+    # W&B run-id persistence for resume (ref: run_nerf.py:292, the id is
+    # stored in the checkpoint; here a sidecar json next to the checkpoints)
+    import json
+
+    wandb_id_path = os.path.join(expdir, "wandb_id.json")
+    wandb_id = None
+    if start > 0 and os.path.exists(wandb_id_path):
+        with open(wandb_id_path) as f:
+            wandb_id = json.load(f).get("wandb_id")
     logger = Logger(log_dir=args.tbdir or args.basedir, expname=args.expname,
                     use_wandb=not args.no_wandb and not args.render_only,
-                    use_tensorboard=args.use_tensorboard, args=args)
+                    use_tensorboard=args.use_tensorboard, wandb_id=wandb_id,
+                    args=args)
+    if logger.wandb_id is not None:
+        with open(wandb_id_path, "w") as f:
+            json.dump({"wandb_id": logger.wandb_id}, f)
 
     # replicate state over the mesh; batches shard on the ray axis
     repl = replicated_sharding(mesh)

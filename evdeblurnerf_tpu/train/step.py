@@ -163,9 +163,14 @@ def build_train_step(model, crf_module, tx, args):
             return out, batch_stats
 
         if remat:
-            # rematerialize render activations in the backward pass: trades
-            # ~1/3 extra FLOPs for fitting the full paper-scale step in one
-            # chip's HBM (the 192-sample dual-stage render dominates peak)
+            # rematerialize render activations in the backward pass: fits
+            # the full paper-scale step in one chip's HBM. The tri-plane
+            # gather outputs are saved (checkpoint_name in voxnerf.sample) —
+            # gathers are the dominant cost (~20 ns/row floor) and must not
+            # be recomputed; the matmul/elementwise work replays cheaply.
+            # note: save_only_these_names("triplane_feats") was measured to
+            # exceed v5e HBM by 1.2G at paper scale; prefer --grad_accum 2
+            # with --no-remat over finer policies (PERF_NOTES.md)
             fwd = jax.checkpoint(
                 fwd, policy=jax.checkpoint_policies.nothing_saveable)
         return fwd(params, batch_stats, key, rays, rays_info)
@@ -245,12 +250,16 @@ def build_train_step(model, crf_module, tx, args):
             if color_events:
                 crf_kw["tonemap_only"] = True
 
-            (s_rgb, s_rgb1, _, _), batch_stats = nerf_apply(
-                params, batch_stats, k_ev_start,
-                ev_batch["events_rays_start"], None, True)
-            (e_rgb, e_rgb1, _, _), batch_stats = nerf_apply(
-                params, batch_stats, k_ev_end,
-                ev_batch["events_rays_end"], None, True)
+            # one batched render for both exposure endpoints (the reference
+            # runs two chunked renders, run_nerf.py:534-551; a single
+            # 2x-batch halves fixed per-render costs on TPU)
+            ev_rays = jnp.concatenate([ev_batch["events_rays_start"],
+                                       ev_batch["events_rays_end"]], axis=0)
+            (rgb_se, rgb1_se, _, _), batch_stats = nerf_apply(
+                params, batch_stats, k_ev_start, ev_rays, None, True)
+            s_rgb, e_rgb = jnp.split(rgb_se, 2, axis=0)
+            s_rgb1, e_rgb1 = ((None, None) if rgb1_se is None
+                              else jnp.split(rgb1_se, 2, axis=0))
 
             def luma(x):
                 return apply_crf(params, x, sw, mode="encode_luma", **crf_kw)
@@ -270,13 +279,48 @@ def build_train_step(model, crf_module, tx, args):
         aux["loss"] = loss
         return loss, (aux, batch_stats)
 
+    accum = max(1, int(getattr(args, "grad_accum", 1) or 1))
+
     @functools.lru_cache(maxsize=None)
     def jitted(force_naive: bool, events_active: bool):
         def step(state, batch, ev_batch, key, sw):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (_, (aux, new_bs)), grads = grad_fn(
-                state.params, state.batch_stats, key, batch, ev_batch, sw,
-                force_naive, events_active)
+            if accum == 1:
+                (_, (aux, new_bs)), grads = grad_fn(
+                    state.params, state.batch_stats, key, batch, ev_batch,
+                    sw, force_naive, events_active)
+            else:
+                # microbatched gradient accumulation: halves (1/accum) the
+                # activation peak with ZERO recompute — strictly better than
+                # remat when the sequential microbatches fit HBM, because
+                # the dominant tri-plane gathers then run exactly once in
+                # fwd and once (as scatters) in bwd
+                def split(x):
+                    return x.reshape(accum, x.shape[0] // accum,
+                                     *x.shape[1:])
+
+                mb = (jax.tree_util.tree_map(split, batch),
+                      jax.tree_util.tree_map(split, ev_batch))
+                keys = jax.random.split(key, accum)
+
+                def body(carry, xs):
+                    bs, grads_acc, loss_acc = carry
+                    b, e, k = xs
+                    (_, (aux_i, bs)), g = grad_fn(
+                        state.params, bs, k, b, e, sw,
+                        force_naive, events_active)
+                    grads_acc = jax.tree_util.tree_map(
+                        lambda a, x: a + x, grads_acc, g)
+                    return (bs, grads_acc, loss_acc + aux_i["loss"]), aux_i
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like,
+                                                    state.params)
+                (new_bs, grads, loss_sum), auxes = jax.lax.scan(
+                    body, (state.batch_stats, zero_grads, jnp.zeros(())),
+                    (mb[0], mb[1], keys))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                aux = jax.tree_util.tree_map(lambda x: x[-1], auxes)
+                aux["loss"] = loss_sum / accum
             if not getattr(args, "no_log_grads_norm", False):
                 # per-parameter L2 grad norms (ref: utils/grads.py:5-17,
                 # logged by default, run_nerf.py:736-773) — scalars only,
