@@ -241,6 +241,11 @@ FLAG_SPEC = [
           help="microbatched gradient accumulation inside the jitted step; "
                "cuts activation peak 1/N with no recompute (prefer over "
                "--remat when the microbatches fit)"),
+    _flag("matmul_precision", str, "default",
+          choices=["default", "high", "highest"],
+          help="jax default matmul precision; 'highest' forces exact f32 "
+               "MXU passes for parity runs (slower), 'default' uses fast "
+               "bf16 passes"),
     _flag("profile_start_step", int, -1,
           help="capture a jax.profiler trace starting at this step"),
     _flag("profile_num_steps", int, 5),

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import compositing, triplane
 from .embedding import positional_encoding
@@ -114,10 +115,8 @@ class VoxelNeRF(nn.Module):
         else:
             feats = triplane.triplane_features(self.app_plane, self.app_line,
                                                xyz)
-        # named for the remat policy: gathers are the expensive op on TPU
-        # (~20 ns/row floor), so the train step saves these residuals and
-        # rematerializes only the cheap matmul/elementwise work
-        from jax.ad_checkpoint import checkpoint_name
+        # named for remat policies: gathers are the expensive op on TPU
+        # (~20 ns/row floor; see PERF_NOTES.md)
         feats = checkpoint_name(feats, "triplane_feats")
         feats = self.basis_mat(feats)
         return ACTIVATIONS[self.app_actfn](feats).reshape(*shape, self.app_dim)

@@ -153,6 +153,12 @@ def train(args, max_iters: Optional[int] = None):
         args.events_threshold_pos = args.events_threshold
         args.events_threshold_neg = args.events_threshold
 
+    if getattr(args, "matmul_precision", "default") != "default":
+        # parity runs: exact f32 MXU passes (SURVEY §7 "beware default TPU
+        # bf16 matmuls — set highest matmul precision for parity runs")
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
+
     seed_everything(args.seed)
     llff, ev = build_datasets(args)
     cfg, kcfg, model, crf = build_model(args, llff)
