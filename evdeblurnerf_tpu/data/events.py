@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -255,10 +255,11 @@ class LLFFEventsDataset:
         if (min_step, max_step) != (0, 0):
             num_succ = self.events_num_successors[events_ids]
             # uniform hops in [min_step-1, min(max_step, num_succ)-1]
+            # (ref: data/loader_events.py:266-268, torch_randint_vec floor)
             hi = np.minimum(max_step, num_succ).astype(np.int64)
+            hi = np.maximum(hi, min_step)      # guard degenerate schedules
             hops = self._rng.integers(min_step - 1, hi, endpoint=False,
                                       dtype=np.int64)
-            hops = np.maximum(hops, min_step - 1)
             succ_idx, neg_cumsum, pos_cumsum = gather_successor(
                 events_ids, hops, events[:, 3], events[:, 2])
             end = events[succ_idx]

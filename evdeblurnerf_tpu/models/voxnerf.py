@@ -13,7 +13,7 @@ through :mod:`evdeblurnerf_tpu.ops.triplane`; the two composite modes are:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -33,7 +33,7 @@ from .evaluate import (apply_crf_host, build_chunk_renderer, depth_colormap,
                        render_poses)
 from .optim import build_optimizer
 from .state import create_train_state
-from .step import build_train_step, compute_schedule_weights, mse2psnr
+from .step import build_train_step, compute_schedule_weights
 
 
 def build_datasets(args):
@@ -183,8 +183,6 @@ def train(args, max_iters: Optional[int] = None):
     rays_info = {k: init_batch[k] for k in
                  ("images_idx", "rays_x", "rays_y", "poses")}
     key = jax.random.PRNGKey(args.seed)
-
-    import optax  # noqa: F401  (tx construction below)
 
     tx_probe = build_optimizer(args.lrate, args.lrate_decay,
                                args.lrate_warmup_iters,

@@ -7,7 +7,7 @@ pytree so a single ``optax`` update and a single checkpoint cover them.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax

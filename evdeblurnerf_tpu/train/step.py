@@ -27,7 +27,7 @@ renders always run ``force_naive=True`` so ``rgb_awp`` never exists there
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import flax.struct
 import jax
