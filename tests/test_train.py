@@ -110,3 +110,22 @@ def test_train_full_stack(scene, tmp_path):
     leaves = [np.asarray(x) for x in
               __import__("jax").tree_util.tree_leaves(state.params)]
     assert all(np.isfinite(x).all() for x in leaves)
+
+
+def test_train_dsk_kernel(scene, tmp_path):
+    """DSK (Deblur-NeRF) kernel path trains end to end (BASELINE config 4
+    family; all published configs use RBK, DSK/PBE retained for parity)."""
+    scene_dir, _ = scene
+    args = tiny_args(
+        scene_dir, str(tmp_path), expname="dsk",
+        N_iters=6, i_weights=10 ** 9, i_testset=10 ** 9, i_print=2,
+        kernel_type="DSK", kernel_ptnum=3, kernel_start_iter=2,
+        kernel_img_embed=8, kernel_rand_embed=2, kernel_spatial_embed=2,
+        kernel_align_weight=0.1, kernel_hwindow=5,
+    )
+    state = train(args)
+    assert int(state.step) == 6
+    import jax
+
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert all(np.isfinite(x).all() for x in leaves)
