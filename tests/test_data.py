@@ -1,5 +1,6 @@
 """Data-layer tests: LLFF loader, samplers, event dataset, prefetcher."""
 
+import os
 import numpy as np
 import pytest
 
@@ -152,3 +153,23 @@ def test_prefetcher_error_propagates():
     with Prefetcher(boom) as pf:
         with pytest.raises(RuntimeError, match="producer failed"):
             next(pf)
+
+
+def test_minify_factor(scene, tmp_path):
+    """factor=2 generates images_2/ via cv2 INTER_AREA and halves the
+    resolution + intrinsics (replaces the reference's ImageMagick _minify)."""
+    import shutil
+
+    scene_dir, _ = scene
+    copy_dir = str(tmp_path / "scene2")
+    shutil.copytree(scene_dir, copy_dir)
+    args = default_args(llffhold=3, factor=2, use_viewdirs=True,
+                        events_tms_files_unit="us", events_tms_unit="us")
+    ds = LLFFDataset(args, copy_dir, factor=2)
+    assert os.path.exists(os.path.join(copy_dir, "images_2"))
+    assert (ds.h, ds.w) == (12, 16)
+    full = LLFFDataset(default_args(llffhold=3, factor=None), copy_dir,
+                       factor=None)
+    np.testing.assert_allclose(ds.K[0][0], full.K[0][0] / 2, rtol=1e-6)
+    batch = ds.batch(np.arange(4))
+    assert batch["rays"].shape == (4, 3, 2)
