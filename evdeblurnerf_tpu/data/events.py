@@ -144,7 +144,7 @@ class LLFFEventsDataset:
             self._build_color_map(id_to_coords, zero_coord_ids)
             if self.color_events else None)
 
-        succ_idx, num_successors, _, _ = compute_successor(events[:, 0])
+        succ_idx, num_successors = self._successor_graph(events)
         # events rows: (coord_id, t, p, successor_idx)
         self.events = np.concatenate(
             [events, succ_idx.reshape(-1, 1)], axis=-1)
@@ -157,6 +157,21 @@ class LLFFEventsDataset:
                 np.nonzero(num_successors > min_step)[0]
         else:
             self.events_with_successor_idx = np.nonzero(num_successors > 0)[0]
+
+    def _successor_graph(self, events):
+        """Load the precomputed sidecar (tools/preprocess_events.py) when it
+        matches the loaded stream, else run the C++ scan now."""
+        sidecar = os.path.join(self.basedir, "events_successor.npz")
+        if os.path.exists(sidecar):
+            data = np.load(sidecar)
+            if int(data["n_events"]) == events.shape[0]:
+                return (np.asarray(data["successor_idx"], np.int64),
+                        np.asarray(data["num_successors"], np.int32))
+            print(f"[events] stale sidecar {sidecar} "
+                  f"({int(data['n_events'])} != {events.shape[0]}), "
+                  "recomputing")
+        succ_idx, num_successors, _, _ = compute_successor(events[:, 0])
+        return succ_idx, num_successors
 
     def _build_color_map(self, id_to_coords, zero_coord_ids):
         """Bayer RGGB mask per event coordinate id

@@ -173,3 +173,37 @@ def test_minify_factor(scene, tmp_path):
     np.testing.assert_allclose(ds.K[0][0], full.K[0][0] / 2, rtol=1e-6)
     batch = ds.batch(np.arange(4))
     assert batch["rays"].shape == (4, 3, 2)
+
+
+def test_successor_sidecar(scene, tmp_path):
+    """tools/preprocess_events.py writes a successor sidecar the dataset
+    loads instead of re-scanning (and ignores when stale)."""
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    scene_dir, _ = scene
+    copy_dir = str(tmp_path / "scene_sc")
+    shutil.copytree(scene_dir, copy_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "preprocess_events.py"),
+         copy_dir, "--events_tms_unit", "us"],
+        check=True, capture_output=True)
+    assert os.path.exists(os.path.join(copy_dir, "events_sucessor.npz")) or \
+        os.path.exists(os.path.join(copy_dir, "events_successor.npz"))
+
+    args, llff = make_llff(copy_dir, use_events=True)
+    ev = LLFFEventsDataset(args, copy_dir, llff.h, llff.w, llff.K,
+                           factor=None, bd_scale=llff.scale,
+                           closest_bds=llff.closest_bds,
+                           furthest_bds=llff.furthest_bds,
+                           recenter_partial=llff.recenter_partial,
+                           spherify_partial=llff.spherify_partial,
+                           events_tms_unit="us", events_tms_files_unit="us")
+    # cross-check sidecar-loaded graph against a fresh scan
+    from evdeblurnerf_tpu.ops.events_native import compute_successor
+
+    succ, cnt, _, _ = compute_successor(ev.events[:, 0])
+    np.testing.assert_array_equal(ev.events[:, 3], succ)
+    np.testing.assert_array_equal(ev.events_num_successors, cnt)
