@@ -129,3 +129,18 @@ def test_train_dsk_kernel(scene, tmp_path):
 
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     assert all(np.isfinite(x).all() for x in leaves)
+
+
+def test_train_no_ndc(scene, tmp_path):
+    """no_ndc branch: metric-depth near/far from the pose bounds, lindisp
+    sampling, no NDC projection (ref: run_nerf.py:316-319)."""
+    scene_dir, _ = scene
+    args = tiny_args(scene_dir, str(tmp_path), expname="nondc",
+                     N_iters=6, i_weights=10 ** 9, i_testset=10 ** 9,
+                     no_ndc=True, lindisp=True)
+    state = train(args)
+    assert int(state.step) == 6
+    import jax
+
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert all(np.isfinite(x).all() for x in leaves)
