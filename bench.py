@@ -127,9 +127,12 @@ def main():
         return step_fn(state, batch, ev_batch, key, sw,
                        force_naive=False, events_active=True)
 
-    # warmup/compile
-    state, aux = one(state)
-    jax.block_until_ready(aux["loss"])
+    # warmup/compile; sync via host transfer — block_until_ready does not
+    # actually block on remote backends, which would leak compile time into
+    # the timed window
+    for _ in range(3):
+        state, aux = one(state)
+        float(aux["loss"])
 
     import os
 
@@ -141,13 +144,14 @@ def main():
             print(f"step {it}: {time.perf_counter() - t0:.4f}s "
                   f"loss={loss:.5f}", flush=True)
 
-    iters = 20
+    # per-step host sync: block_until_ready does NOT synchronize on remote
+    # backends, and deep unsynced pipelining through the tunnel degrades
+    # badly; a float() costs ~ms against >1s steps
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, aux = one(state)
-    # host transfer of the last loss forces the whole chained sequence;
-    # block_until_ready alone does NOT synchronize on the axon backend
-    float(aux["loss"])
+        float(aux["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = RAYS_PER_ITER / dt
