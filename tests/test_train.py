@@ -144,3 +144,15 @@ def test_train_no_ndc(scene, tmp_path):
 
     leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
     assert all(np.isfinite(x).all() for x in leaves)
+
+
+def test_train_image_batch_sampling(scene, tmp_path):
+    """ray_sampling_mode=images drives training through ImageBatchSampler
+    (ref: run_nerf.py:64-68)."""
+    scene_dir, _ = scene
+    args = tiny_args(scene_dir, str(tmp_path), expname="imgsamp",
+                     N_iters=5, i_weights=10 ** 9, i_testset=10 ** 9,
+                     ray_sampling_mode="images", ray_sampling_images_num=2,
+                     N_rand=64)
+    state = train(args)
+    assert int(state.step) == 5
