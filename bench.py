@@ -155,11 +155,33 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = RAYS_PER_ITER / dt
+
+    # eval-render throughput: the test/video rendering path (chunked
+    # no-kernel render, ref protocol run_nerf.py:642-709)
+    from evdeblurnerf_tpu.train.evaluate import build_chunk_renderer
+
+    chunk_fn = build_chunk_renderer(model)
+    eval_chunk = 16384
+    eval_rays = jax.device_put(make_rays(eval_chunk, 3))
+    variables = {"params": state.params}
+    rgb, _, _ = chunk_fn(variables, eval_rays)   # compile
+    float(rgb[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rgb, _, _ = chunk_fn(variables, eval_rays)
+        float(rgb[0, 0])
+    eval_dt = (time.perf_counter() - t0) / iters
+    eval_rays_per_sec = eval_chunk / eval_dt
+
     print(json.dumps({
         "metric": "train_rays_per_sec_full_step",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        # the reference publishes no numbers; the denominator is a
+        # documented estimate (see module docstring), not a measurement
+        "baseline_kind": "estimate",
+        "eval_rays_per_sec": round(eval_rays_per_sec, 1),
     }))
 
 

@@ -230,7 +230,8 @@ class EvDeblurNeRF(nn.Module):
             other_loss.update(self._tv_loss())
             return rgb, rgb1, other_loss, other_tensors
 
-        k_kernel, k_stage0, k_render = jax.random.split(key, 3)
+        k_kernel, k_stage0_jit, k_stage0_rnd, k_render = \
+            jax.random.split(key, 4)
         img_idx = rays_info["images_idx"].reshape(-1).astype(jnp.int32)
         img_embed = self.view_embed(img_idx)
         N = rays.shape[0]
@@ -243,10 +244,10 @@ class EvDeblurNeRF(nn.Module):
             # stage 0: render the undeformed pattern to get CRR ray features
             # (ref: renderer.py:289-299)
             new_rays0, weight0, _ = self.kernelnet(
-                k_stage0, self._intrinsics(), rays_info["rays_x"],
+                k_stage0_jit, self._intrinsics(), rays_info["rays_x"],
                 rays_info["rays_y"], img_idx, rays_info["poses"], img_embed)
             rgb0_flat, feats = self.renderer.coarse_render(
-                k_stage0, new_rays0.reshape(-1, 3, 2), is_train=True)
+                k_stage0_rnd, new_rays0.reshape(-1, 3, 2), is_train=True)
             rgb0_pts = rgb0_flat.reshape(N, pt_num, 3)
             rgb0_stage0 = jnp.sum(rgb0_pts * weight0[..., None], axis=1)
             feats = feats.reshape(N, pt_num, -1)

@@ -87,12 +87,16 @@ def _round_to_devices(n: int, n_dev: int, name: str) -> int:
 
 
 def _image_sampler_factory(args, llff):
+    # One persistent sampler instance: its np.random.Generator state then
+    # advances across epochs (torch RandomSampler semantics) instead of
+    # replaying an identical permutation every epoch.
     if args.ray_sampling_mode == "images":
-        return lambda: iter(ImageBatchSampler(
+        sampler = ImageBatchSampler(
             llff.n_imgs, args.ray_sampling_images_num, args.N_rand,
-            (llff.w, llff.h), seed=args.seed))
-    return lambda: iter(RandomRaySampler(llff.n_rays, args.N_rand,
-                                         seed=args.seed))
+            (llff.w, llff.h), seed=args.seed)
+    else:
+        sampler = RandomRaySampler(llff.n_rays, args.N_rand, seed=args.seed)
+    return lambda: iter(sampler)
 
 
 def run_test_renders(args, llff, model, crf, variables, crf_params,
@@ -300,8 +304,9 @@ def train(args, max_iters: Optional[int] = None):
                               sharding=data_shard)
     ev_prefetch = None
     if args.use_events and args.add_event_egm:
-        ev_iter = endless(lambda: iter(RandomEventSampler(
-            len(ev), args.events_N_rand, seed=args.seed)))
+        ev_sampler = RandomEventSampler(len(ev), args.events_N_rand,
+                                        seed=args.seed)
+        ev_iter = endless(lambda: iter(ev_sampler))
         ev_prefetch = Prefetcher(lambda: ev.batch(next(ev_iter)),
                                  sharding=data_shard)
 

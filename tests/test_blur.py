@@ -66,6 +66,7 @@ def build_and_run(kcfg, cfg=None, return_pts0=True):
 
 
 @pytest.mark.parametrize("ktype", ["DSK", "RBK"])
+@pytest.mark.slow
 def test_kernel_forward_shapes(ktype):
     kcfg = KernelConfig(kernel_type=ktype, ptnum=4, feat_cnl=15)
     rgb, rgb1, other_loss, other_tensors = build_and_run(kcfg)
@@ -79,6 +80,7 @@ def test_kernel_forward_shapes(ktype):
         assert "align" in other_loss
 
 
+@pytest.mark.slow
 def test_pbe_with_awp():
     kcfg = KernelConfig(kernel_type="PBE", ptnum=4, feat_cnl=15,
                         use_awp=True, awp_sam_emb_width=16,
@@ -93,6 +95,7 @@ def test_pbe_with_awp():
     assert "align" not in other_loss
 
 
+@pytest.mark.slow
 def test_naive_forward():
     kcfg = KernelConfig(kernel_type="none")
     cfg = tiny_render_config(kernel_type="none")

@@ -80,6 +80,7 @@ def test_float_coords_and_color_map(cdavis_scene, tmp_path):
     assert np.isfinite(batch["events_rays_start"]).all()
 
 
+@pytest.mark.slow
 def test_cdavis_end_to_end(cdavis_scene, tmp_path):
     from evdeblurnerf_tpu.train.loop import train
 

@@ -6,12 +6,15 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 from synthetic import make_synthetic_scene  # noqa: E402
 
 from evdeblurnerf_tpu.config import default_args  # noqa: E402
 from evdeblurnerf_tpu.train.loop import train  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 
 def _args(scene_dir, logdir, name):

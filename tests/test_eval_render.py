@@ -67,6 +67,7 @@ def test_lpips_with_random_weights(tmp_path):
         del os.environ["EVDEBLURNERF_LPIPS_WEIGHTS"]
 
 
+@pytest.mark.slow
 def test_render_only(tmp_path):
     """--render_only --render_test produces the versioned output directory
     with per-view PNGs and the disparity dump (ref: run_nerf.py:337-414)."""

@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from evdeblurnerf_tpu.config import default_args
 from evdeblurnerf_tpu.models.renderer import RenderConfig
@@ -71,6 +72,7 @@ def run_step(grad_accum):
     return state, aux
 
 
+@pytest.mark.slow
 def test_grad_accum_close_to_full_batch():
     """With perturb=0/no noise the render is key-independent, so accum=2 on
     the same 32 rays equals the full-batch step up to fp reordering."""

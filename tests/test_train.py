@@ -10,6 +10,8 @@ from evdeblurnerf_tpu.config import default_args
 from evdeblurnerf_tpu.train.loop import train
 from synthetic import make_synthetic_scene
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene(tmp_path_factory):

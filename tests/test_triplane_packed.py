@@ -62,6 +62,7 @@ def test_triplane_features_packed_matches(grids):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.slow
 def test_packed_gradients_match(grids):
     planes, lines = grids
     xyz = coords(n=200)
