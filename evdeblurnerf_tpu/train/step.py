@@ -125,9 +125,12 @@ def compute_schedule_weights(args, i: int, *, kernel_end_warmup_iter: int,
         color_weight=cw)
 
 
-def build_train_step(model, crf_module, tx, args):
+def build_train_step(model, crf_module, tx, args, return_grads=False):
     """Returns ``step(state, batch, ev_batch, key, sw, force_naive,
-    events_active) -> (state, metrics)`` with jitted per-phase variants."""
+    events_active) -> (state, metrics)`` with jitted per-phase variants.
+
+    ``return_grads``: test hook — include the raw gradient tree in the
+    metrics dict (used by the DP-equivalence test)."""
 
     tv_weight = float(args.kernel_tv_loss_weight)
     thresh_neg = float(args.events_threshold_neg
@@ -329,6 +332,9 @@ def build_train_step(model, crf_module, tx, args):
                     name = "/".join(str(getattr(p, "key", p)) for p in path)
                     aux[f"grads/{name}"] = jnp.sqrt(jnp.sum(leaf * leaf))
                 aux["grads/total"] = optax.global_norm(grads)
+            if return_grads:
+                # test hook (DP-equivalence): raw pre-clip gradient tree
+                aux["grads_tree"] = grads
             if clip_norm is not None:
                 # clip only the nerf tree (ref: run_nerf.py:596-599)
                 gnorm = optax.global_norm(grads["nerf"])

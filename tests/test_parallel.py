@@ -1,0 +1,144 @@
+"""Numeric data-parallel equivalence: one full train step (RBK kernel +
+AWP + event EGM + CRF) with identical inputs on a 1-device and an 8-device
+mesh must produce the same loss and the same updated parameters.
+
+This is what makes the sharded path *mean* something: a wrong
+PartitionSpec would silently change per-shard means (analog of
+``tests/test_grad_accum.py`` for microbatching)."""
+
+import jax
+import numpy as np
+import pytest
+
+from evdeblurnerf_tpu.config import default_args
+from evdeblurnerf_tpu.models.renderer import RenderConfig
+from evdeblurnerf_tpu.models.system import (EvDeblurNeRF,
+                                            kernel_config_from_args)
+from evdeblurnerf_tpu.models.tonemapping import TonemappingTransform
+from evdeblurnerf_tpu.parallel import (batch_sharding, create_mesh,
+                                       replicated_sharding)
+from evdeblurnerf_tpu.train.optim import build_optimizer
+from evdeblurnerf_tpu.train.state import create_train_state
+from evdeblurnerf_tpu.train.step import (build_train_step,
+                                         compute_schedule_weights)
+from evdeblurnerf_tpu.utils.misc import annealing_interpolator
+
+N = 32
+
+
+def _make_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    rays_o = rng.normal(size=(n, 3)).astype(np.float32) * 0.05
+    rays_d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays_d[:, 2] = -np.abs(rays_d[:, 2]) - 0.5
+    return np.stack([rays_o, rays_d], axis=-1)
+
+
+def _setup():
+    args = default_args(
+        N_rand=N, events_N_rand=N,
+        N_samples=4, N_importance=4, chunk=512,
+        mode="c2f", kernel_type="RBK", kernel_ptnum=3,
+        kernel_rbk_use_origin=True, kernel_use_awp=True,
+        kernel_awp_sam_emb_width=8, kernel_awp_mot_emb_width=8,
+        kernel_img_embed=8, kernel_rbk_extra_feat_ch=0,
+        kernel_start_iter=0, use_viewdirs=True, multires=4,
+        multires_views=2, use_events=True, add_event_egm=True,
+        add_event_egm_stages=["stage0", "stage1"],
+        tone_mapping_events_type="learn",
+        tone_mapping_events_add_bii="pos-neg",
+        lrate=5e-3, lrate_decay=10, seed=0, perturb=1.0)
+    args.events_threshold_pos = args.events_threshold
+    args.events_threshold_neg = args.events_threshold
+    cfg = RenderConfig(
+        mode="c2f", N_samples=4, N_importance=4, use_viewdirs=True,
+        multires=4, multires_views=2, ndc=True, near=0.0, far=1.0,
+        H=64, W=80, focal=60.0,
+        aabb=((-1.6, -1.6, -1.0), (1.6, 1.6, 1.0)),
+        coarse_n_voxels=4096, fine_n_voxels=8192,
+        coarse_app_n_comp=(4, 2, 2), fine_app_n_comp=(4, 2, 2),
+        coarse_hidden_dim=8, coarse_hidden_dim_color=8,
+        fine_hidden_dim=8, fine_hidden_dim_color=8,
+        fine_geo_feat_dim=8, coarse_app_dim=8, fine_app_dim=8,
+        kernel_feat_cnl=15, kernel_type="RBK", use_awp=True)
+    kcfg = kernel_config_from_args(args)
+    K = ((60.0, 0.0, 40.0), (0.0, 60.0, 32.0), (0.0, 0.0, 1.0))
+    model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=4, K=K)
+    crf = TonemappingTransform(map_type_rgb="none", map_type_event="learn",
+                               extra_features_event=2)
+    return args, model, crf
+
+
+def _make_batches():
+    rng = np.random.default_rng(0)
+    batch = {
+        "rays": _make_rays(N),
+        "rays_x": rng.uniform(0, 80, N).astype(np.float32),
+        "rays_y": rng.uniform(0, 64, N).astype(np.float32),
+        "images_idx": rng.integers(0, 4, N).astype(np.int32),
+        "poses": np.broadcast_to(
+            np.concatenate([np.eye(3), np.zeros((3, 1))], -1),
+            (N, 3, 4)).astype(np.float32),
+        "rgbsf": rng.uniform(0, 1, (N, 3)).astype(np.float32),
+    }
+    ev_batch = {
+        "events_rays_start": _make_rays(N, seed=1),
+        "events_rays_end": _make_rays(N, seed=2),
+        "events_pos_pol_cumsum": rng.integers(0, 3, N).astype(np.float32),
+        "events_neg_pol_cumsum": -rng.integers(0, 3, N).astype(np.float32),
+    }
+    return batch, ev_batch
+
+
+def _run_one_step(n_devices):
+    args, model, crf = _setup()
+    batch, ev_batch = _make_batches()
+    mesh = create_mesh(jax.devices()[:n_devices])
+    key = jax.random.PRNGKey(0)
+    tx = build_optimizer(args.lrate, args.lrate_decay)
+    rays_info = {k: batch[k] for k in
+                 ("images_idx", "rays_x", "rays_y", "poses")}
+    state = create_train_state(model, crf, tx, key, batch["rays"], rays_info)
+
+    state = jax.device_put(state, replicated_sharding(mesh))
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    ev_batch = jax.device_put(ev_batch, batch_sharding(mesh))
+
+    step_fn = build_train_step(model, crf, tx, args, return_grads=True)
+    sw = compute_schedule_weights(
+        args, 0, kernel_end_warmup_iter=-1, w_kernel=lambda s: 1.0,
+        w_pts0_target=lambda s: 0.0,
+        w_events_egm=annealing_interpolator(1.0, 1.0, None, "constant"),
+        fine_loss_weight=0.1, events_active=True)
+    state, aux = step_fn(state, batch, ev_batch, key, sw,
+                         force_naive=False, events_active=True)
+    loss = float(aux["loss"])
+    grads = jax.device_get(aux["grads_tree"])
+    return loss, grads
+
+
+@pytest.mark.slow
+def test_dp_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    loss1, grads1 = _run_one_step(1)
+    loss8, grads8 = _run_one_step(8)
+    assert np.isfinite(loss1)
+    # reduction order over shards may differ from the unsharded sum, so
+    # allow float32 reduction-order noise but nothing structural
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-6, atol=1e-7)
+    flat8 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(grads8)}
+    for path, leaf1 in jax.tree_util.tree_leaves_with_path(grads1):
+        name = jax.tree_util.keystr(path)
+        leaf1 = np.asarray(leaf1)
+        leaf8 = np.asarray(flat8[name])
+        # atol scaled to the parameter's own gradient magnitude: a wrong
+        # PartitionSpec changes grads at the scale of the grads themselves
+        # (O(1) relative), while shard reduction-order noise observed here
+        # is <=1e-3 relative on near-cancelling ~1e-7 sums
+        # floor: leaves whose true grad is numerically zero (cancelling
+        # sums ~1e-11) only need to stay zero — far below any real grad
+        scale = max(np.abs(leaf1).max(), 1e-5)
+        np.testing.assert_allclose(
+            leaf8, leaf1, rtol=5e-3, atol=1e-3 * scale,
+            err_msg=f"grad mismatch at {name}")
