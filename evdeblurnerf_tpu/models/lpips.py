@@ -4,8 +4,12 @@ Capability-parity counterpart of the reference's vendored LPIPS evaluator
 (ref: networks/lpips/lpips.py:140, networks/lpips/pretrained_networks.py):
 AlexNet feature taps -> channel-unit-normalize -> learned 1x1 linear heads
 -> spatial average -> sum. Pure-functional jax; weights load from a single
-``.npz`` (this image ships no pretrained trunk, so the scorer is optional —
-:func:`LPIPSScorer.from_env` returns None without weights).
+``.npz``. The learned v0.1 lin heads are vendored
+(``lpips_weights/alex_lin_v0.1.npz``, converted from the reference's
+``networks/lpips/weights/v0.1/alex.pth``); the ImageNet AlexNet trunk is
+not obtainable offline, so :func:`LPIPSScorer.from_default` falls back to
+a deterministic fixed-seed trunk (see :func:`default_trunk`) and warns
+once.
 
 npz keys: ``conv{i}_w`` [out,in,kh,kw], ``conv{i}_b`` for i in 0..4 (the 5
 AlexNet conv layers), ``lin{i}_w`` [1,C_i,1,1] for the heads.
@@ -77,9 +81,43 @@ def lpips_distance(weights: dict, im1, im2):
     return total
 
 
+_VENDORED_LIN = os.path.join(os.path.dirname(__file__), "lpips_weights",
+                             "alex_lin_v0.1.npz")
+_FULL_BUNDLE = os.path.join(os.path.dirname(__file__), "lpips_weights",
+                            "alex_full.npz")
+
+
+def default_trunk(seed: int = 0) -> dict:
+    """Deterministic He-initialized AlexNet trunk weights.
+
+    This environment has no network egress and ships no ImageNet
+    checkpoint, so the pretrained trunk the reference downloads through
+    torchvision (ref: networks/lpips/pretrained_networks.py:47-56) is
+    unobtainable offline. Fixed-seed random conv features are the
+    documented fallback: LPIPS over random conv features is a known
+    perceptual-distance baseline and is fully reproducible, but its values
+    are NOT comparable to published LPIPS(alex) numbers. Drop an ImageNet
+    bundle at ``lpips_weights/alex_full.npz`` (or point
+    ``EVDEBLURNERF_LPIPS_WEIGHTS`` at one, built via
+    :func:`convert_torch_weights`) to restore published semantics.
+    """
+    rng = np.random.default_rng(seed)
+    out = {}
+    in_ch = 3
+    for i, (out_ch, k, _, _) in enumerate(_ALEX):
+        fan_in = in_ch * k * k
+        std = np.sqrt(2.0 / fan_in)
+        out[f"conv{i}_w"] = rng.normal(
+            0.0, std, (out_ch, in_ch, k, k)).astype(np.float32)
+        out[f"conv{i}_b"] = np.zeros((out_ch,), np.float32)
+        in_ch = out_ch
+    return out
+
+
 class LPIPSScorer:
-    def __init__(self, weights: dict):
+    def __init__(self, weights: dict, pretrained_trunk: bool = True):
         self.weights = {k: jnp.asarray(v) for k, v in weights.items()}
+        self.pretrained_trunk = pretrained_trunk
         self._fn = jax.jit(lambda a, b: lpips_distance(self.weights, a, b))
 
     @classmethod
@@ -92,6 +130,33 @@ class LPIPSScorer:
         if path and os.path.exists(path):
             return cls.from_npz(path)
         return None
+
+    _warned = False
+
+    @classmethod
+    def from_default(cls) -> "LPIPSScorer":
+        """Always-usable scorer: env bundle > vendored full bundle >
+        deterministic trunk + vendored LPIPS lin heads (loud, once)."""
+        scorer = cls.from_env()
+        if scorer is not None:
+            return scorer
+        if os.path.exists(_FULL_BUNDLE):
+            return cls.from_npz(_FULL_BUNDLE)
+        weights = default_trunk()
+        weights.update({k: v for k, v in np.load(_VENDORED_LIN).items()})
+        if not cls._warned:
+            cls._warned = True
+            import warnings
+
+            warnings.warn(
+                "LPIPS: no ImageNet AlexNet trunk available (offline "
+                "environment); using a deterministic fixed-seed trunk with "
+                "the vendored LPIPS v0.1 lin heads. Distances are "
+                "reproducible and rank-correlated but NOT comparable to "
+                "published LPIPS(alex) numbers. See "
+                "evdeblurnerf_tpu/models/lpips.py:default_trunk.",
+                stacklevel=2)
+        return cls(weights, pretrained_trunk=False)
 
     def __call__(self, im1, im2) -> float:
         """im1/im2: [H, W, 3] in [-1, 1]."""

@@ -73,10 +73,10 @@ def _get_lpips():
     try:
         from ..models.lpips import LPIPSScorer
 
-        _lpips_scorer = LPIPSScorer.from_env()
+        # always usable: env/vendored bundle, else the documented
+        # deterministic-trunk fallback (warns once)
+        _lpips_scorer = LPIPSScorer.from_default()
     except Exception:
-        _lpips_failed = True
-    if _lpips_scorer is None:
         _lpips_failed = True
     return _lpips_scorer
 

@@ -1,0 +1,113 @@
+"""LPIPS correctness.
+
+The strong test is cross-framework: an independent torch twin of the
+AlexNet-LPIPS pipeline (F.conv2d / F.max_pool2d with the reference's
+torchvision layer geometry, ref: networks/lpips/pretrained_networks.py and
+networks/lpips/lpips.py:140-236) is fed the SAME weights as the JAX
+implementation — any conv stride/padding/pool transcription error shows up
+as a distance mismatch. Random weights can't catch those; identical
+weights across frameworks can."""
+
+import numpy as np
+import pytest
+
+from evdeblurnerf_tpu.models.lpips import (_ALEX, _POOL_AFTER, _SCALE,
+                                           _SHIFT, LPIPSScorer,
+                                           default_trunk, lpips_distance)
+
+torch = pytest.importorskip("torch")
+
+
+def _lin_heads(rng):
+    return {f"lin{i}_w":
+            rng.uniform(0, 0.1, (1, _ALEX[i][0], 1, 1)).astype(np.float32)
+            for i in range(5)}
+
+
+def _torch_lpips(weights, im1, im2):
+    import torch.nn.functional as F
+
+    shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+    scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+
+    def taps(x):
+        h = (x - shift) / scale
+        outs = []
+        for i, (_, _, stride, pad) in enumerate(_ALEX):
+            w = torch.tensor(weights[f"conv{i}_w"])
+            b = torch.tensor(weights[f"conv{i}_b"])
+            h = F.relu(F.conv2d(h, w, b, stride=stride, padding=pad))
+            outs.append(h)
+            if i in _POOL_AFTER:
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+        return outs
+
+    def unit(x):
+        return x / (x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+
+    f1 = taps(torch.tensor(im1))
+    f2 = taps(torch.tensor(im2))
+    total = torch.zeros(im1.shape[0])
+    for i in range(len(_ALEX)):
+        d = (unit(f1[i]) - unit(f2[i])) ** 2
+        lin = torch.tensor(weights[f"lin{i}_w"]).view(1, -1, 1, 1)
+        total = total + (d * lin).sum(dim=1).mean(dim=(1, 2))
+    return total.numpy()
+
+
+def test_matches_torch_twin():
+    rng = np.random.default_rng(3)
+    weights = default_trunk(seed=1)
+    weights.update(_lin_heads(rng))
+    # odd spatial size stresses the stride-4 conv + pool geometry
+    im1 = rng.uniform(-1, 1, (2, 3, 67, 73)).astype(np.float32)
+    im2 = rng.uniform(-1, 1, (2, 3, 67, 73)).astype(np.float32)
+    d_jax = np.asarray(lpips_distance(
+        {k: np.asarray(v) for k, v in weights.items()}, im1, im2))
+    d_torch = _torch_lpips(weights, im1, im2)
+    np.testing.assert_allclose(d_jax, d_torch, rtol=1e-4, atol=1e-6)
+
+
+def test_default_scorer_always_returns_number():
+    from evdeblurnerf_tpu.utils.metrics import compute_img_metric
+
+    rng = np.random.default_rng(0)
+    im1 = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    im2 = np.clip(im1 + rng.normal(0, 0.1, im1.shape), 0, 1).astype(
+        np.float32)
+    val = compute_img_metric(im1, im2, "lpips")
+    assert val is not None and np.isfinite(val) and val > 0
+
+
+def test_default_scorer_golden_value():
+    """Pin the deterministic-trunk + vendored-lin distance on a fixed pair
+    so silent drift in default_trunk or the vendored heads is caught."""
+    scorer = LPIPSScorer.from_default()
+    h = np.linspace(0, 1, 64, dtype=np.float32)
+    im1 = np.stack(np.broadcast_arrays(h[:, None], h[None, :],
+                                       h[:, None] * h[None, :]), -1)
+    im2 = im1[::-1].copy()
+    d = scorer(im1 * 2 - 1, im2 * 2 - 1)
+    assert np.isfinite(d)
+    golden = GOLDEN_DEFAULT_DISTANCE
+    if golden is not None:
+        np.testing.assert_allclose(d, golden, rtol=1e-4)
+
+
+def test_identical_images_zero():
+    scorer = LPIPSScorer.from_default()
+    rng = np.random.default_rng(5)
+    im = rng.uniform(-1, 1, (48, 48, 3)).astype(np.float32)
+    assert abs(scorer(im, im)) < 1e-6
+
+
+GOLDEN_DEFAULT_DISTANCE = 0.158411905169487  # regen: run this file directly
+
+
+if __name__ == "__main__":
+    scorer = LPIPSScorer.from_default()
+    h = np.linspace(0, 1, 64, dtype=np.float32)
+    im1 = np.stack(np.broadcast_arrays(h[:, None], h[None, :],
+                                       h[:, None] * h[None, :]), -1)
+    im2 = im1[::-1].copy()
+    print("golden default distance:", scorer(im1 * 2 - 1, im2 * 2 - 1))
