@@ -297,17 +297,37 @@ class Renderer(nn.Module):
                                        cfg.N_importance, det=(perturb == 0.0))
                 z_samples = jax.lax.stop_gradient(z_samples)
 
-                z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-                pts_all = (rays_o[..., None, :]
-                           + rays_d[..., None, :] * z_all[..., :, None])
-                # re-evaluate both grids at the sorted depths (pointwise
-                # equal to the reference's gather-reorder, renderer.py:205-213)
-                ft = jnp.concatenate([self.mlp_coarse.sample(pts_all),
-                                      self.mlp_fine.sample(pts_all)], -1)
+                # TPU-native fine pass: evaluate fields in UNSORTED
+                # (stratified ++ importance) order and sort only the
+                # compositing scalars on the lane dimension. This (a) reuses
+                # the coarse-grid features already gathered for the
+                # stratified depths — the dominant cost is table-row
+                # gathers/scatters at a fixed ~10-26 ns/row (PERF_NOTES.md),
+                # and re-gathering them at sorted order wastes
+                # N_samples x 6 rows per ray in fwd AND bwd — and (b) turns
+                # the feature reorder into lane-local shuffles instead of
+                # row gathers. Pointwise equal to the reference's
+                # sort-then-evaluate (renderer.py:205-213): same z values,
+                # same pts floats, same MLP, same sorted-weight recurrence;
+                # only reduction order differs (f32 noise).
                 S_all = cfg.N_samples + cfg.N_importance
+                z_cat = jnp.concatenate([z_vals, z_samples], -1)
+                iota = jnp.broadcast_to(
+                    jnp.arange(S_all, dtype=jnp.int32), (R, S_all))
+                z_all, perm = jax.lax.sort((z_cat, iota), dimension=-1,
+                                           num_keys=1)
+                pts_new = (rays_o[..., None, :]
+                           + rays_d[..., None, :] * z_samples[..., :, None])
+                pts_cat = (rays_o[..., None, :]
+                           + rays_d[..., None, :] * z_cat[..., :, None])
+                ft = jnp.concatenate(
+                    [jnp.concatenate([ft_coarse,
+                                      self.mlp_coarse.sample(pts_new)], 1),
+                     self.mlp_fine.sample(pts_cat)], -1)
                 noise_f = self._noise(k_noise_f, (R, S_all - 1), is_train)
                 rgb_map, depth_map, acc_map, weights, feature = self.mlp_fine(
-                    pts_all, viewdirs, ft, z_all, rays_d, noise_f, is_train)
+                    pts_cat, viewdirs, ft, z_all, rays_d, noise_f, is_train,
+                    perm=perm)
                 z_vals = z_all
                 ret["z_std"] = jnp.std(z_samples, axis=-1)
         else:

@@ -126,12 +126,21 @@ class VoxelNeRF(nn.Module):
         return triplane.tv_loss_app(self.app_plane, self.app_line)
 
     def __call__(self, pts, viewdirs, fts, z_vals, rays_d, noise=None,
-                 is_train=True):
+                 is_train=True, perm=None):
         """Field evaluation + compositing (ref: voxnerf.py:210-259).
 
         pts [R, S, 3]; viewdirs [R, 3] or None; fts [R, S, C_app] sampled
         features (possibly coarse+fine concat); z_vals [R, S]; rays_d [R, 3];
         noise: optional [R, S-1] sigma noise.
+
+        ``perm``: optional [R, S] int32. When given, per-sample inputs
+        (pts/fts) are in an UNSORTED order while ``z_vals`` is sorted, with
+        ``z_vals[r, i] == z_cat[r, perm[r, i]]``. The pointwise field eval
+        runs in the unsorted order; only the compositing scalars are
+        permuted (lane-dimension shuffles — far cheaper on TPU than
+        re-gathering table rows at sorted positions, see PERF_NOTES.md).
+        Outputs are ordered exactly as the presorted path: weights and the
+        FVR per-sample features align with the sorted ``z_vals``.
 
         Returns (color, depth, acc, weights, feature_map): color is [R, 3].
         In the FVR path ``feature_map`` is the per-sample sigma-net features
@@ -156,15 +165,32 @@ class VoxelNeRF(nn.Module):
         if not is_train and self.render_rmnearplane > 0:
             rm_mask = compositing.rmnearplane_mask(z_vals, self.render_rmnearplane)
 
-        if self.composite_feature:
-            # CRR: composite the (activated) geometry features over the ray,
-            # then color once per ray.
+        if perm is not None:
+            # sigma to sorted order (lane shuffle); weights computed on the
+            # sorted recurrence are then inverted back to the unsorted order
+            # for the per-sample reductions (a second lane sort: keys
+            # ``perm`` form a permutation, so sorting them ascending carries
+            # the weights to cat positions)
+            sigma_sorted = jnp.take_along_axis(sigma, perm, axis=-1)
+            weights = compositing.compute_weights(
+                sigma_sorted, z_vals, rays_d, sigma_act, noise=noise,
+                rmnearplane_mask=rm_mask)
+            _, weights_cat = jax.lax.sort((perm, weights), dimension=-1,
+                                          num_keys=1)
+        else:
             weights = compositing.compute_weights(
                 sigma, z_vals, rays_d, sigma_act, noise=noise,
                 rmnearplane_mask=rm_mask)
+            weights_cat = weights
+
+        if self.composite_feature:
+            # CRR: composite the (activated) geometry features over the ray,
+            # then color once per ray.
             feat_act = ACTIVATIONS[self.rgb_activate](feature_map)
-            feat_ray, depth_map, acc_map = compositing.composite(
-                weights, feat_act, z_vals)
+            feat_ray, _, _ = compositing.composite(
+                weights_cat, feat_act, z_vals)
+            depth_map = jnp.sum(weights * z_vals, -1)
+            acc_map = jnp.sum(weights, -1)
 
             dirs_embedded = positional_encoding(viewdirs, self.multires_views)
             hc = jnp.concatenate([feat_ray, dirs_embedded], -1)
@@ -186,12 +212,17 @@ class VoxelNeRF(nn.Module):
                     hc = nn.relu(hc)
             color_s = jax.nn.sigmoid(hc).reshape(R, S, 3)
 
-            weights = compositing.compute_weights(
-                sigma, z_vals, rays_d, sigma_act, noise=noise,
-                rmnearplane_mask=rm_mask)
             # rgb_activate is 'none' in this path (ref: voxnerf.py:289-291)
             color_s = ACTIVATIONS[self.rgb_activate](color_s)
-            color, depth_map, acc_map = compositing.composite(
-                weights, color_s, z_vals)
+            color, _, _ = compositing.composite(weights_cat, color_s, z_vals)
+            depth_map = jnp.sum(weights * z_vals, -1)
+            acc_map = jnp.sum(weights, -1)
+            if perm is not None:
+                # per-sample features to sorted order for AWP (lane shuffles
+                # over [R*C, S] blocks via the transpose trick); dead-code
+                # eliminated whenever the caller drops the feature output
+                feature_map = jnp.take_along_axis(
+                    feature_map.transpose(0, 2, 1), perm[:, None, :],
+                    axis=-1).transpose(0, 2, 1)
 
         return color, depth_map, acc_map, weights, feature_map
