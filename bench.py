@@ -163,7 +163,9 @@ def main():
     chunk_fn = build_chunk_renderer(model)
     eval_chunk = 16384
     eval_rays = jax.device_put(make_rays(eval_chunk, 3))
-    variables = {"params": state.params}
+    variables = {"params": state.params["nerf"]}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
     rgb, _, _ = chunk_fn(variables, eval_rays)   # compile
     float(rgb[0, 0])
     t0 = time.perf_counter()

@@ -241,6 +241,10 @@ FLAG_SPEC = [
           help="microbatched gradient accumulation inside the jitted step; "
                "cuts activation peak 1/N with no recompute (prefer over "
                "--remat when the microbatches fit)"),
+    _bool("triplane_bf16", default=False,
+          help="gather tri-plane/line table rows through a bf16 view in the "
+               "forward pass (~25%% faster gathers on TPU); the backward "
+               "scatter stays exact f32. Off by default for f32 parity"),
     _flag("matmul_precision", str, "default",
           choices=["default", "high", "highest"],
           help="jax default matmul precision; 'highest' forces exact f32 "

@@ -80,6 +80,9 @@ class RenderConfig:
     fine_app_n_comp: Tuple[int, ...] = (64, 16, 16)
     fine_n_voxels: int = 134217984
     fine_app_actfn: str = "none"
+    # TPU-native: bf16 forward table gathers (backward stays f32);
+    # off by default for exact f32 parity
+    triplane_bf16: bool = False
     # kernel / AWP wiring (ref: renderer.py:26-39)
     kernel_type: str = "none"
     kernel_feat_cnl: int = 15
@@ -115,6 +118,7 @@ def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
         near=float(near), far=float(far),
         H=int(H), W=int(W), focal=float(focal),
         render_rmnearplane=args.render_rmnearplane,
+        triplane_bf16=getattr(args, "triplane_bf16", False),
         rgb_activate=args.rgb_activate,
         sigma_activate=args.sigma_activate,
         rgb_add_bias=args.rgb_add_bias,
@@ -166,6 +170,7 @@ class Renderer(nn.Module):
                 composite_feature=cfg.composite_feature_coarse,
                 rgb_activate="relu", sigma_activate="relu",
                 app_actfn=cfg.coarse_app_actfn,
+                table_bf16=cfg.triplane_bf16,
                 render_rmnearplane=cfg.render_rmnearplane,
                 name="mlp_coarse")
             if cfg.N_importance > 0:
@@ -182,6 +187,7 @@ class Renderer(nn.Module):
                     composite_feature=cfg.composite_feature_fine,
                     rgb_activate="none", sigma_activate="relu",
                     app_actfn=cfg.fine_app_actfn,
+                    table_bf16=cfg.triplane_bf16,
                     render_rmnearplane=cfg.render_rmnearplane,
                     name="mlp_fine")
             else:

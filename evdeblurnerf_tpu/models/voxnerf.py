@@ -59,6 +59,7 @@ class VoxelNeRF(nn.Module):
     app_actfn: str = "none"
     render_rmnearplane: int = 0
     packed_sampling: bool = True       # neighbor-packed single-gather path
+    table_bf16: bool = False           # bf16 forward gathers, f32 backward
 
     def setup(self):
         grid = compute_grid_size(self.aabb[0], self.aabb[1], self.n_voxels)
@@ -111,7 +112,8 @@ class VoxelNeRF(nn.Module):
         xyz = self.normalize_coords(pts.reshape(-1, 3))
         if self.packed_sampling:
             pp, pl_ = triplane.pack_grids(self.app_plane, self.app_line)
-            feats = triplane.triplane_features_packed(pp, pl_, xyz)
+            feats = triplane.triplane_features_packed(
+                pp, pl_, xyz, table_bf16=self.table_bf16)
         else:
             feats = triplane.triplane_features(self.app_plane, self.app_line,
                                                xyz)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 # Plane/line axis assignment (ref: voxnerf.py:99-100).
@@ -107,6 +108,39 @@ def triplane_features(planes: Sequence[jnp.ndarray], lines: Sequence[jnp.ndarray
 # (one scatter-add of wide rows; the packing shifts transpose to cheap
 # shifted adds under autodiff, deterministically).
 
+@jax.custom_vjp
+def _take_rows_bf16(table, idx):
+    """Row gather through a bfloat16 view of ``table`` (f32 in/out).
+
+    TPU row gathers are row-count-bound but still ~25% faster on bf16 rows
+    (measured, PERF_NOTES.md); the one-time f32->bf16 cast of the table
+    streams at HBM speed and is CSE'd across every sample() call in a step.
+    The backward stays the exact f32 scatter-add — only forward *values*
+    see bf16 rounding.
+    """
+    return jnp.take(table.astype(jnp.bfloat16), idx, axis=0).astype(
+        jnp.float32)
+
+
+def _take_rows_bf16_fwd(table, idx):
+    return _take_rows_bf16(table, idx), (idx, table.shape)
+
+
+def _take_rows_bf16_bwd(res, g):
+    idx, shape = res
+    d_table = jnp.zeros(shape, jnp.float32).at[idx].add(g)
+    return d_table, None
+
+
+_take_rows_bf16.defvjp(_take_rows_bf16_fwd, _take_rows_bf16_bwd)
+
+
+def _take_rows(table, idx, bf16=False):
+    if bf16:
+        return _take_rows_bf16(table, idx)
+    return jnp.take(table, idx, axis=0)
+
+
 def pack_plane(plane):
     """[C, H, W] -> [H*W, 4C] neighbor-packed rows (zero pad at + edges)."""
     p = jnp.moveaxis(plane, 0, -1)                    # [H, W, C]
@@ -156,11 +190,12 @@ def _pair_select(slot0, slot1, offset):
     return v0, v1
 
 
-def grid_sample_2d_packed(packed, H, W, x, y):
+def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False):
     """Bilinear sample from a neighbor-packed plane: one gather per point.
 
     packed: [H*W, 4C]; x, y: [N] in [-1, 1]. Exactly equal (to f32
-    rounding) to :func:`grid_sample_2d`.
+    rounding) to :func:`grid_sample_2d`; with ``table_bf16`` the gathered
+    rows are bf16-rounded (backward stays exact f32, see _take_rows_bf16).
     """
     C4 = packed.shape[-1]
     C = C4 // 4
@@ -169,7 +204,7 @@ def grid_sample_2d_packed(packed, H, W, x, y):
     bx, ox, wx0, wx1 = _axis_setup(fx, W)
     by, oy, wy0, wy1 = _axis_setup(fy, H)
 
-    rows = jnp.take(packed, by * W + bx, axis=0)      # [N, 4C]
+    rows = _take_rows(packed, by * W + bx, bf16=table_bf16)   # [N, 4C]
     top0, top1 = rows[:, :C], rows[:, C:2 * C]
     bot0, bot1 = rows[:, 2 * C:3 * C], rows[:, 3 * C:]
 
@@ -181,7 +216,7 @@ def grid_sample_2d_packed(packed, H, W, x, y):
     return v0 * wy0[:, None] + v1 * wy1[:, None]
 
 
-def grid_sample_1d_packed(packed, D, y):
+def grid_sample_1d_packed(packed, D, y, table_bf16=False):
     """Linear sample from a neighbor-packed line: one gather per point.
 
     packed: [D, 2C]; y: [N] in [-1, 1]. Equals :func:`grid_sample_1d`.
@@ -189,7 +224,7 @@ def grid_sample_1d_packed(packed, D, y):
     C = packed.shape[-1] // 2
     fy = (y + 1.0) * 0.5 * (D - 1)
     b, off, w0, w1 = _axis_setup(fy, D)
-    rows = jnp.take(packed, b, axis=0)                # [N, 2C]
+    rows = _take_rows(packed, b, bf16=table_bf16)     # [N, 2C]
     v0, v1 = _pair_select(rows[:, :C], rows[:, C:], off)
     return v0 * w0[:, None] + v1 * w1[:, None]
 
@@ -202,16 +237,19 @@ def pack_grids(planes, lines):
     return pp, pl_
 
 
-def triplane_features_packed(packed_planes, packed_lines, xyz):
+def triplane_features_packed(packed_planes, packed_lines, xyz,
+                             table_bf16=False):
     """Packed-path equivalent of :func:`triplane_features`."""
     feats = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         packed, H, W = packed_planes[i]
         plane_feat = grid_sample_2d_packed(packed, H, W,
-                                           xyz[:, m0], xyz[:, m1])
+                                           xyz[:, m0], xyz[:, m1],
+                                           table_bf16=table_bf16)
         packed_l, D = packed_lines[i]
-        line_feat = grid_sample_1d_packed(packed_l, D, xyz[:, VEC_MODE[i]])
+        line_feat = grid_sample_1d_packed(packed_l, D, xyz[:, VEC_MODE[i]],
+                                          table_bf16=table_bf16)
         feats.append(plane_feat * line_feat)
     return jnp.concatenate(feats, axis=-1)
 

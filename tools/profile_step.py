@@ -259,7 +259,7 @@ def main():
         tone_mapping_events_type="learn",
         tone_mapping_events_add_bii="pos-neg",
         lrate=5e-3, lrate_decay=10, seed=0,
-        remat=False, grad_accum=2,
+        remat=False, grad_accum=int(os.environ.get('GRAD_ACCUM', '2')),
     )
     args.events_threshold_pos = args.events_threshold
     args.events_threshold_neg = args.events_threshold
