@@ -68,17 +68,30 @@ def group_origins(fu, fv, H, W, TH, TW):
 
 
 def _kernel(oy_ref, ox_ref, fu_ref, fv_ref, plane_ref, out_ref,
-            tile, sem, *, TH, TW, C):
+            tiles, sems, *, TH, TW, C):
     g = pl.program_id(0)
+    n_g = pl.num_programs(0)
+
+    def tile_dma(slot, gi):
+        return pltpu.make_async_copy(
+            plane_ref.at[pl.ds(oy_ref[gi], TH), pl.ds(ox_ref[gi], TW), :],
+            tiles.at[slot], sems.at[slot])
+
+    # double-buffered tile prefetch: per-group DMA latency (~us) would
+    # otherwise dominate the ~10k-program grid
+    @pl.when(g == 0)
+    def _():
+        tile_dma(0, 0).start()
+
+    @pl.when(g + 1 < n_g)
+    def _():
+        tile_dma((g + 1) % 2, g + 1).start()
+
+    slot = g % 2
     oy = oy_ref[g]
     ox = ox_ref[g]
-
-    cp = pltpu.make_async_copy(
-        plane_ref.at[pl.ds(oy, TH), pl.ds(ox, TW), :], tile, sem)
-    cp.start()
-
-    fu = fu_ref[:] - ox.astype(jnp.float32)     # local texel coords [GROUP]
-    fv = fv_ref[:] - oy.astype(jnp.float32)
+    fu = fu_ref[0, 0, :] - ox.astype(jnp.float32)   # local coords [GROUP]
+    fv = fv_ref[0, 0, :] - oy.astype(jnp.float32)
     u0 = jnp.floor(fu)
     v0 = jnp.floor(fv)
     au = fu - u0
@@ -87,20 +100,27 @@ def _kernel(oy_ref, ox_ref, fu_ref, fv_ref, plane_ref, out_ref,
     ok = ((u0 >= 0) & (u0 + 1 <= TW - 1) & (v0 >= 0) & (v0 + 1 <= TH - 1))
     u0c = jnp.clip(u0, 0, TW - 2).astype(jnp.int32)
     v0c = jnp.clip(v0, 0, TH - 2).astype(jnp.int32)
-    base = v0c * TW + u0c                        # [GROUP] flat tile index
 
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, TH * TW), 1)
-    b = base[:, None]
-    okf = ok.astype(jnp.float32)[:, None]
-    w = ((t_iota == b).astype(jnp.float32) * ((1 - au) * (1 - av))[:, None]
-         + (t_iota == b + 1).astype(jnp.float32) * (au * (1 - av))[:, None]
-         + (t_iota == b + TW).astype(jnp.float32) * ((1 - au) * av)[:, None]
-         + (t_iota == b + TW + 1).astype(jnp.float32) * (au * av)[:, None]
-         ) * okf
+    # separable tent weights: [GROUP, TH] x [GROUP, TW] one-hots are ~K/2
+    # times cheaper to build than the fused [GROUP, TH*TW] matrix
+    ty = jax.lax.broadcasted_iota(jnp.int32, (GROUP, TH), 1)
+    tx = jax.lax.broadcasted_iota(jnp.int32, (GROUP, TW), 1)
+    okf = ok.astype(jnp.float32)
+    wy = ((ty == v0c[:, None]).astype(jnp.float32) * (1 - av)[:, None]
+          + (ty == v0c[:, None] + 1).astype(jnp.float32) * av[:, None]
+          ) * okf[:, None]
+    wx = ((tx == u0c[:, None]).astype(jnp.float32) * (1 - au)[:, None]
+          + (tx == u0c[:, None] + 1).astype(jnp.float32) * au[:, None])
 
-    cp.wait()
-    out_ref[:] = jnp.dot(w, tile[:].reshape(TH * TW, C),
-                         preferred_element_type=jnp.float32)
+    tile_dma(slot, g).wait()
+    # y-contraction on the MXU, then the small x-contraction on the VPU
+    a = jax.lax.dot_general(
+        wy, tiles[slot].reshape(TH, TW * C),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # [GROUP, TW*C]
+    a = a.reshape(GROUP, TW, C)
+    out_ref[:] = jnp.sum(a * wx[:, :, None], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("TH", "TW", "interpret"))
@@ -115,22 +135,26 @@ def tiled_plane_gather(plane_hwc, fu, fv, oy, ox, TH=64, TW=64,
     H, W, C = plane_hwc.shape
     N = fu.shape[0]
     G = N // GROUP
+    # [G, 1, GROUP]: trailing (1, GROUP) satisfies the Pallas TPU rule that
+    # the last two block dims divide (8, 128) or equal the array dims
+    fu = fu.reshape(G, 1, GROUP)
+    fv = fv.reshape(G, 1, GROUP)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((GROUP,), lambda g, oy, ox: (g,),
+            pl.BlockSpec((1, 1, GROUP), lambda g, oy, ox: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP,), lambda g, oy, ox: (g,),
+            pl.BlockSpec((1, 1, GROUP), lambda g, oy, ox: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((GROUP, C), lambda g, oy, ox: (g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TH, TW, C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, TH, TW, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_kernel, TH=TH, TW=TW, C=C)

@@ -37,8 +37,12 @@ def main():
     Hg = Wg = 512
     C = 64
     rng = np.random.default_rng(0)
-    plane_hwc = jnp.asarray(rng.normal(size=(Hg, Wg, C)), jnp.float32)
-    plane_chw = jnp.moveaxis(plane_hwc, -1, 0)
+    plane_small = jnp.asarray(rng.normal(size=(Hg, Wg, C)), jnp.float32)
+    # pad channels to the 128-lane width: Mosaic requires HBM slices to be
+    # lane-aligned, so the kernel DMAs full 128-channel rows (2x DMA waste
+    # at C=64; acceptable if tiles are reused across groups)
+    plane_hwc = jnp.pad(plane_small, ((0, 0), (0, 0), (0, 128 - C)))
+    plane_chw = jnp.moveaxis(plane_small, -1, 0)
 
     fu = jnp.asarray(xyz[:, 0] * (Wg - 1), jnp.float32)
     fv = jnp.asarray(xyz[:, 1] * (Hg - 1), jnp.float32)
@@ -76,7 +80,8 @@ def main():
         out = tiled_plane_gather(plane_hwc, fu, fv, oy, ox, TH=TH, TW=TW)
         ref = baseline(plane_chw, x_norm, y_norm)
         okm = np.asarray(ok)
-        err = np.abs(np.asarray(out)[okm] - np.asarray(ref)[okm]).max()
+        err = np.abs(np.asarray(out)[okm][:, :C]
+                     - np.asarray(ref)[okm]).max()
         print(f"tiled {TH}x{TW}: {t*1e3:.1f} ms ({t/N*1e9:.1f} ns/pt), "
               f"spill {spill*100:.2f}%, max|err| {err:.2e}", flush=True)
 
