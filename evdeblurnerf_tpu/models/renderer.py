@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import compositing
+from ..ops import compositing, lane_shuffle
 from ..ops.sample_pdf import sample_pdf
 from ..utils.rays import get_ndc_rays
 from .embedding import positional_encoding
@@ -318,10 +318,7 @@ class Renderer(nn.Module):
                 # only reduction order differs (f32 noise).
                 S_all = cfg.N_samples + cfg.N_importance
                 z_cat = jnp.concatenate([z_vals, z_samples], -1)
-                iota = jnp.broadcast_to(
-                    jnp.arange(S_all, dtype=jnp.int32), (R, S_all))
-                z_all, perm = jax.lax.sort((z_cat, iota), dimension=-1,
-                                           num_keys=1)
+                z_all, perm, inv_perm = lane_shuffle.sort_with_perm(z_cat)
                 pts_new = (rays_o[..., None, :]
                            + rays_d[..., None, :] * z_samples[..., :, None])
                 pts_cat = (rays_o[..., None, :]
@@ -333,7 +330,7 @@ class Renderer(nn.Module):
                 noise_f = self._noise(k_noise_f, (R, S_all - 1), is_train)
                 rgb_map, depth_map, acc_map, weights, feature = self.mlp_fine(
                     pts_cat, viewdirs, ft, z_all, rays_d, noise_f, is_train,
-                    perm=perm)
+                    perm=perm, inv_perm=inv_perm)
                 z_vals = z_all
                 ret["z_std"] = jnp.std(z_samples, axis=-1)
         else:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
-from ..ops import compositing, triplane
+from ..ops import compositing, lane_shuffle, triplane
 from .embedding import positional_encoding
 from .layers import ACTIVATIONS, TorchLinear
 
@@ -128,7 +128,7 @@ class VoxelNeRF(nn.Module):
         return triplane.tv_loss_app(self.app_plane, self.app_line)
 
     def __call__(self, pts, viewdirs, fts, z_vals, rays_d, noise=None,
-                 is_train=True, perm=None):
+                 is_train=True, perm=None, inv_perm=None):
         """Field evaluation + compositing (ref: voxnerf.py:210-259).
 
         pts [R, S, 3]; viewdirs [R, 3] or None; fts [R, S, C_app] sampled
@@ -168,17 +168,15 @@ class VoxelNeRF(nn.Module):
             rm_mask = compositing.rmnearplane_mask(z_vals, self.render_rmnearplane)
 
         if perm is not None:
-            # sigma to sorted order (lane shuffle); weights computed on the
-            # sorted recurrence are then inverted back to the unsorted order
-            # for the per-sample reductions (a second lane sort: keys
-            # ``perm`` form a permutation, so sorting them ascending carries
-            # the weights to cat positions)
-            sigma_sorted = jnp.take_along_axis(sigma, perm, axis=-1)
+            # sigma to sorted order, weights back to the unsorted (cat)
+            # order for the per-sample reductions — both single-vreg lane
+            # gathers (ops/lane_shuffle.py; the inverse move previously
+            # paid a full lax.sort on (perm, weights))
+            sigma_sorted = lane_shuffle.permute_lanes(sigma, perm, inv_perm)
             weights = compositing.compute_weights(
                 sigma_sorted, z_vals, rays_d, sigma_act, noise=noise,
                 rmnearplane_mask=rm_mask)
-            _, weights_cat = jax.lax.sort((perm, weights), dimension=-1,
-                                          num_keys=1)
+            weights_cat = lane_shuffle.permute_lanes(weights, inv_perm, perm)
         else:
             weights = compositing.compute_weights(
                 sigma, z_vals, rays_d, sigma_act, noise=noise,
@@ -220,11 +218,11 @@ class VoxelNeRF(nn.Module):
             depth_map = jnp.sum(weights * z_vals, -1)
             acc_map = jnp.sum(weights, -1)
             if perm is not None:
-                # per-sample features to sorted order for AWP (lane shuffles
-                # over [R*C, S] blocks via the transpose trick); dead-code
-                # eliminated whenever the caller drops the feature output
-                feature_map = jnp.take_along_axis(
-                    feature_map.transpose(0, 2, 1), perm[:, None, :],
-                    axis=-1).transpose(0, 2, 1)
+                # per-sample features to sorted order for AWP ([R, C, S]
+                # lane shuffles); dead-code eliminated whenever the caller
+                # drops the feature output
+                feature_map = lane_shuffle.permute_lanes(
+                    feature_map.transpose(0, 2, 1), perm,
+                    inv_perm).transpose(0, 2, 1)
 
         return color, depth_map, acc_map, weights, feature_map

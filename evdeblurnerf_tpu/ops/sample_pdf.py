@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import lane_shuffle
+
 
 def searchsorted_right(sorted_seq, values):
     """Batched ``searchsorted(..., side='right')``.
@@ -52,10 +54,13 @@ def sample_pdf(key, bins, weights, N_samples, det=False):
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # one fused Pallas lane-gather pass on TPU (XLA lowers these four
+    # take_along_axis to ~2.4M single-element row gathers, ~60 ms/step);
+    # forward-only: the caller stop-gradients the result, matching the
+    # reference's .detach() (ref: utils/rays.py:188)
+    cdf_below, cdf_above, bins_below, bins_above = lane_shuffle.cdf_take(
+        jax.lax.stop_gradient(cdf), jax.lax.stop_gradient(bins),
+        below, above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
