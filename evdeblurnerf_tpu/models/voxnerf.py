@@ -110,6 +110,14 @@ class VoxelNeRF(nn.Module):
         calls."""
         shape = pts.shape[:-1]
         xyz = self.normalize_coords(pts.reshape(-1, 3))
+        # NOTE: routing this through the fused Pallas sampling kernels
+        # (ops/fused_sample.py) was measured SLOWER at the paper-scale
+        # step (fwd 281 vs 268 ms, bwd 1004 vs 671 ms): XLA's own fusion
+        # of the select/weight chains into the gathers/scatters is
+        # already near the intrinsic row-take/scatter cost, and the
+        # kernel boundary forces extra materializations in the backward.
+        # The jnp path below is the fast path; the kernels remain as a
+        # tested, documented experiment.
         if self.packed_sampling:
             pp, pl_ = triplane.pack_grids(self.app_plane, self.app_line)
             feats = triplane.triplane_features_packed(

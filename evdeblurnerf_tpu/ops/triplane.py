@@ -14,10 +14,18 @@ in [-1, 1] indexes (width, height) = (last, second-to-last) grid dims.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+
+from . import line_matmul
+
+# grid-gradient matmul precision: "highest" keeps products exact (only
+# f32 summation order differs from a scatter-add); "default" rounds the
+# incoming gradients to bf16 (~6x faster MXU passes)
+LINE_GRAD_PRECISION = os.environ.get("EVDN_LINE_GRAD_PRECISION", "highest")
 
 # Plane/line axis assignment (ref: voxnerf.py:99-100).
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
@@ -220,6 +228,12 @@ def grid_sample_1d_packed(packed, D, y, table_bf16=False):
     """Linear sample from a neighbor-packed line: one gather per point.
 
     packed: [D, 2C]; y: [N] in [-1, 1]. Equals :func:`grid_sample_1d`.
+
+    Note: replacing this take's scatter-add VJP with the one-hot MXU
+    matmul (ops/line_matmul.py) was measured SLOWER in the full step
+    (1177 vs 939 ms): the custom_vjp fusion barrier broke XLA's fused
+    backward epilogues and elementwise time exploded (+250 ms). Kept as
+    a standalone op; the integrated fix is the fused sampling kernel.
     """
     C = packed.shape[-1] // 2
     fy = (y + 1.0) * 0.5 * (D - 1)
