@@ -24,6 +24,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops import compositing
 from .embedding import positional_encoding
 from .layers import TorchLinear
 
@@ -131,10 +132,11 @@ class AdaptiveWeightProposal(nn.Module):
 
         alpha = 1.0 - jnp.exp(-feat[..., :-1, :] * dists[..., None])
         alpha = jnp.concatenate([alpha, jnp.zeros_like(alpha[:, :1])], axis=-2)
-        trans = jnp.cumprod(
+        # one-pass-backward cumprod (factors strictly positive); the
+        # cumprod axis faithfully stays the feature axis (the quirk)
+        trans = compositing._cumprod_lanes(
             jnp.concatenate([jnp.ones((alpha.shape[0], 1, alpha.shape[-1])),
-                             1.0 - alpha + 1e-10], axis=-2),
-            axis=-1)[:, :-1, :]
+                             1.0 - alpha + 1e-10], axis=-2))[:, :-1, :]
         weights = alpha * trans
         integrated = jnp.sum(weights * feat, axis=-2)
         return integrated.reshape(N_ray, num_pt, D)

@@ -14,7 +14,35 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _cumprod_lanes(x):
+    """cumprod along the sample axis with a one-pass backward.
+
+    Autodiff of cumprod differentiates through XLA's log-depth scan
+    (~26 ms/step of pad/slice fusions at the paper workload). The
+    transmittance factors here are strictly positive (1 - alpha + 1e-10
+    with alpha in [0, 1]), so the division form is safe:
+    d_x[i] = (sum_{j>=i} g[j] * y[j]) / x[i].
+    """
+    return jnp.cumprod(x, -1)
+
+
+def _cumprod_fwd(x):
+    y = jnp.cumprod(x, -1)
+    return y, (x, y)
+
+
+def _cumprod_bwd(res, g):
+    x, y = res
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(g * y, -1), -1), -1)
+    return (suffix / x,)
+
+
+_cumprod_lanes.defvjp(_cumprod_fwd, _cumprod_bwd)
 
 
 def compute_weights(sigma, z_vals, rays_d, sigma_activate, noise=None,
@@ -42,9 +70,9 @@ def compute_weights(sigma, z_vals, rays_d, sigma_activate, noise=None,
     alpha = 1.0 - jnp.exp(-density * dists)                        # [R, S-1]
     alpha = jnp.concatenate([alpha, jnp.ones_like(alpha[..., :1])], -1)
 
-    trans = jnp.cumprod(
+    trans = _cumprod_lanes(
         jnp.concatenate([jnp.ones_like(alpha[..., :1]),
-                         1.0 - alpha + 1e-10], -1), -1)[..., :-1]
+                         1.0 - alpha + 1e-10], -1))[..., :-1]
     return alpha * trans                                           # [R, S]
 
 

@@ -237,3 +237,25 @@ def test_se3_warp_points_roundtrip():
     T_inv = jnp.linalg.inv(T)
     back = se3.se3_warp_points(warped, T_inv)
     np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-4)
+
+
+def test_cumprod_custom_vjp_matches_autodiff():
+    """Division-form cumprod backward vs differentiating jnp.cumprod."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    # strictly positive factors incl. the 1e-10 floor case
+    x = jnp.asarray(rng.uniform(0.05, 1.0, (9, 33)), jnp.float32)
+    x = x.at[:, -1].set(1e-10)
+    g = jnp.asarray(rng.normal(size=(9, 33)), jnp.float32)
+
+    def f_custom(x):
+        return jnp.sum(compositing._cumprod_lanes(x) * g)
+
+    def f_ref(x):
+        return jnp.sum(jnp.cumprod(x, -1) * g)
+
+    gc = jax.grad(f_custom)(x)
+    gr = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                               rtol=2e-4, atol=1e-5)
