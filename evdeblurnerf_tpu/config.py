@@ -234,13 +234,15 @@ FLAG_SPEC = [
     _bool("render_epi"),
 
     # TPU-framework extensions (no reference counterpart)
-    _bool("remat", default=True,
-          help="rematerialize render activations in backward (fits the "
-               "paper-scale step in one chip's HBM)"),
-    _flag("grad_accum", int, 1,
+    _bool("remat", default=False,
+          help="rematerialize render activations in backward; measured "
+               "strictly worse than --grad_accum 2 on v5e (PERF_NOTES.md: "
+               "re-runs every gather in the backward)"),
+    _flag("grad_accum", int, 2,
           help="microbatched gradient accumulation inside the jitted step; "
-               "cuts activation peak 1/N with no recompute (prefer over "
-               "--remat when the microbatches fit)"),
+               "cuts activation peak 1/N with no recompute. The measured-"
+               "best default: 2 fits the paper-scale step in one v5e's "
+               "HBM at 1.35x the speed of remat"),
     _bool("triplane_bf16", default=False,
           help="gather tri-plane/line table rows through a bf16 view in the "
                "forward pass (~25%% faster gathers on TPU); the backward "

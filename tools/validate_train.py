@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Reproducible training-quality validation on the synthetic scene.
+
+Generates the blur+events synthetic scene (tests/synthetic.py) at a
+medium resolution and trains the full method (RBK+AWP+EGM+EDI+CRF) for
+--iters iterations via the standard CLI pipeline, printing the held-out
+metrics trajectory. Used after perf changes that touch backward numerics
+to confirm the trajectory still matches PERF_NOTES.md's tables.
+
+Usage: python tools/validate_train.py [--iters 2000] [--scene /tmp/scene]
+       [--logdir /tmp/vtrain] [extra run_nerf flags...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--scene", default="/tmp/vtrain_scene")
+    ap.add_argument("--logdir", default="/tmp/vtrain_logs")
+    ap.add_argument("--h", type=int, default=96)
+    ap.add_argument("--w", type=int, default=128)
+    ap.add_argument("--n_imgs", type=int, default=6)
+    args, extra = ap.parse_known_args()
+
+    if not os.path.exists(os.path.join(args.scene, "events.h5")):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tests"))
+        from synthetic import make_synthetic_scene
+        make_synthetic_scene(args.scene, n_imgs=args.n_imgs, h=args.h,
+                             w=args.w, focal=float(args.w),
+                             poses_per_image=4, seed=0)
+        print("scene written to", args.scene, flush=True)
+
+    from evdeblurnerf_tpu.config import parse_args
+    from evdeblurnerf_tpu.train.loop import train
+
+    cli = [
+        "--expname", "vtrain",
+        "--basedir", args.logdir,
+        "--datadir", args.scene,
+        "--dataset_type", "llff",
+        "--factor", "1", "--llffhold", "6",
+        "--events_tms_unit", "us", "--events_tms_files_unit", "us",
+        "--no_wandb",
+        "--N_iters", str(args.iters),
+        "--N_rand", "256", "--N_samples", "64", "--N_importance", "64",
+        "--mode", "c2f",
+        "--coarse_n_voxels", "1000000", "--fine_n_voxels", "8000000",
+        "--kernel_type", "RBK", "--kernel_ptnum", "5",
+        "--kernel_rbk_use_origin",
+        "--kernel_use_awp", "--kernel_img_embed", "32",
+        "--kernel_start_iter", "300",
+        "--use_viewdirs",
+        "--use_events", "--events_N_rand", "1024", "--add_event_egm",
+        "--tone_mapping_events_type", "learn",
+        "--tone_mapping_type", "gamma",
+        "--i_testset", "500", "--i_print", "100", "--i_weights", "100000",
+        "--lrate_decay", "10",
+    ] + extra
+    train(parse_args(cli))
+
+
+if __name__ == "__main__":
+    main()
