@@ -73,7 +73,8 @@ def main():
         coarse_hidden_dim=64, coarse_hidden_dim_color=64,
         fine_hidden_dim=256, fine_hidden_dim_color=256,
         fine_geo_feat_dim=128, coarse_app_dim=32, fine_app_dim=32,
-        kernel_feat_cnl=15, kernel_type="RBK", use_awp=True)
+        kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
+        triplane_bf16=args.triplane_bf16)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)

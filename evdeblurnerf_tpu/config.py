@@ -243,10 +243,12 @@ FLAG_SPEC = [
                "cuts activation peak 1/N with no recompute. The measured-"
                "best default: 2 fits the paper-scale step in one v5e's "
                "HBM at 1.35x the speed of remat"),
-    _bool("triplane_bf16", default=False,
+    _bool("triplane_bf16", default=True,
           help="gather tri-plane/line table rows through a bf16 view in the "
                "forward pass (~25%% faster gathers on TPU); the backward "
-               "scatter stays exact f32. Off by default for f32 parity"),
+               "scatter stays exact f32. Validated default: the 2k-iter "
+               "full-method trajectory is indistinguishable from f32 "
+               "(PERF_NOTES.md). --no_triplane_bf16 restores exact f32"),
     _flag("matmul_precision", str, "default",
           choices=["default", "high", "highest"],
           help="jax default matmul precision; 'highest' forces exact f32 "
