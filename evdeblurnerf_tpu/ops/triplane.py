@@ -189,58 +189,62 @@ def _axis_setup(f, size):
     return base.astype(jnp.int32), offset, w0, w1
 
 
-def _pair_select(slot0, slot1, offset):
-    """Pick the (corner0, corner1) values out of a packed slot pair given
-    the offset (see _axis_setup)."""
-    off0 = (offset == 0.0)[:, None]
-    v0 = jnp.where(off0, slot0, slot1)
-    v1 = jnp.where(off0, slot1, slot0)
-    return v0, v1
+def _slot_weights(f, size):
+    """Per-slot weights for the packed (base, base+1) texel pair at f.
+
+    The tent weights (with zeros-padding validity) are routed to the
+    slots their corners land in via [N]-wide scalar selects, so the wide
+    [N, C] work downstream is pure FMAs — no [N, C] select ladders
+    (measured: the select_n fusions alone were ~31 ms/step).
+    Returns (base_index, s0, s1).
+    """
+    b, off, w0, w1 = _axis_setup(f, size)
+    off0 = (off == 0.0)
+    s0 = jnp.where(off0, w0, w1)
+    s1 = jnp.where(off0, w1, w0)
+    return b, s0, s1
 
 
 def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False):
     """Bilinear sample from a neighbor-packed plane: one gather per point.
 
-    packed: [H*W, 4C]; x, y: [N] in [-1, 1]. Exactly equal (to f32
-    rounding) to :func:`grid_sample_2d`; with ``table_bf16`` the gathered
-    rows are bf16-rounded (backward stays exact f32, see _take_rows_bf16).
+    packed: [H*W, 4C]; x, y: [N] in [-1, 1]. Same weights/validity as
+    :func:`grid_sample_2d`; the slot-weight factoring reorders the f32
+    accumulation (agreement to ~1e-6 relative). With ``table_bf16`` the
+    gathered rows are bf16-rounded (backward stays exact f32, see
+    _take_rows_bf16).
     """
     C4 = packed.shape[-1]
     C = C4 // 4
     fx = (x + 1.0) * 0.5 * (W - 1)
     fy = (y + 1.0) * 0.5 * (H - 1)
-    bx, ox, wx0, wx1 = _axis_setup(fx, W)
-    by, oy, wy0, wy1 = _axis_setup(fy, H)
+    bx, sx0, sx1 = _slot_weights(fx, W)
+    by, sy0, sy1 = _slot_weights(fy, H)
 
     rows = _take_rows(packed, by * W + bx, bf16=table_bf16)   # [N, 4C]
-    top0, top1 = rows[:, :C], rows[:, C:2 * C]
-    bot0, bot1 = rows[:, 2 * C:3 * C], rows[:, 3 * C:]
-
-    t0, t1 = _pair_select(top0, top1, ox)
-    b0, b1 = _pair_select(bot0, bot1, ox)
-    row_y0 = t0 * wx0[:, None] + t1 * wx1[:, None]
-    row_y1 = b0 * wx0[:, None] + b1 * wx1[:, None]
-    v0, v1 = _pair_select(row_y0, row_y1, oy)
-    return v0 * wy0[:, None] + v1 * wy1[:, None]
+    return (rows[:, :C] * (sy0 * sx0)[:, None]
+            + rows[:, C:2 * C] * (sy0 * sx1)[:, None]
+            + rows[:, 2 * C:3 * C] * (sy1 * sx0)[:, None]
+            + rows[:, 3 * C:] * (sy1 * sx1)[:, None])
 
 
 def grid_sample_1d_packed(packed, D, y, table_bf16=False):
     """Linear sample from a neighbor-packed line: one gather per point.
 
-    packed: [D, 2C]; y: [N] in [-1, 1]. Equals :func:`grid_sample_1d`.
+    packed: [D, 2C]; y: [N] in [-1, 1]. Same weights as
+    :func:`grid_sample_1d` (slot-weight factoring, see above).
 
     Note: replacing this take's scatter-add VJP with the one-hot MXU
     matmul (ops/line_matmul.py) was measured SLOWER in the full step
     (1177 vs 939 ms): the custom_vjp fusion barrier broke XLA's fused
     backward epilogues and elementwise time exploded (+250 ms). Kept as
-    a standalone op; the integrated fix is the fused sampling kernel.
+    a standalone op; see PERF_NOTES.md.
     """
     C = packed.shape[-1] // 2
     fy = (y + 1.0) * 0.5 * (D - 1)
-    b, off, w0, w1 = _axis_setup(fy, D)
+    b, s0, s1 = _slot_weights(fy, D)
     rows = _take_rows(packed, b, bf16=table_bf16)     # [N, 2C]
-    v0, v1 = _pair_select(rows[:, :C], rows[:, C:], off)
-    return v0 * w0[:, None] + v1 * w1[:, None]
+    return rows[:, :C] * s0[:, None] + rows[:, C:] * s1[:, None]
 
 
 def pack_grids(planes, lines):
