@@ -126,8 +126,8 @@ def _take_rows_bf16(table, idx):
     The backward stays the exact f32 scatter-add — only forward *values*
     see bf16 rounding.
     """
-    return jnp.take(table.astype(jnp.bfloat16), idx, axis=0).astype(
-        jnp.float32)
+    return table.astype(jnp.bfloat16).at[idx].get(
+        mode="promise_in_bounds").astype(jnp.float32)
 
 
 def _take_rows_bf16_fwd(table, idx):
@@ -144,9 +144,12 @@ _take_rows_bf16.defvjp(_take_rows_bf16_fwd, _take_rows_bf16_bwd)
 
 
 def _take_rows(table, idx, bf16=False):
+    # indices are clipped in _axis_setup, so the gather can skip jnp.take's
+    # default out-of-bounds fill — its guard is a [N, 4C]-wide select_n
+    # measured at ~31 ms/step (zeros-padding validity lives in the weights)
     if bf16:
         return _take_rows_bf16(table, idx)
-    return jnp.take(table, idx, axis=0)
+    return table.at[idx].get(mode="promise_in_bounds")
 
 
 def pack_plane(plane):
