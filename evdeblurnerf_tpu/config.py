@@ -447,7 +447,21 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> Args:
         values[key] = _coerce(_SPEC_BY_NAME[key], raw)
     if cli_raw.get("config"):
         values["config"] = _unquote(str(cli_raw["config"]))
+    _validate(values)
     return Args(values)
+
+
+def _validate(values: dict):
+    """Cross-flag constraints that would otherwise fail deep in tracing."""
+    ga = values.get("grad_accum") or 1
+    for flag in ("N_rand", "events_N_rand"):
+        n = values.get(flag)
+        if n and n % ga != 0:
+            raise ValueError(
+                f"--{flag}={n} must be divisible by --grad_accum={ga} "
+                "(the jitted step reshapes the ray batch into grad_accum "
+                "equal microbatches; pick a divisible batch or "
+                "--grad_accum 1)")
 
 
 def default_args(**overrides) -> Args:
@@ -458,6 +472,7 @@ def default_args(**overrides) -> Args:
             raise ValueError(f"unknown flag {key!r}")
         flag = _SPEC_BY_NAME[key]
         values[key] = _coerce(flag, val) if isinstance(val, str) else val
+    _validate(values)
     return Args(values)
 
 

@@ -194,14 +194,21 @@ class LLFFEventsDataset:
         invmap_x, invmap_y = maps["inv_mapx"], maps["inv_mapy"]
         assert invmap_x.shape == invmap_y.shape == (self.h, self.w)
         # vectorized row-matching of the undistortion map against the
-        # deduplicated coordinate table (ref does a python double loop)
-        coords_to_id = {(c[0], c[1]): i for i, c in enumerate(id_to_coords)}
+        # deduplicated coordinate table (ref does a python double loop):
+        # exact (x, y) pair equality via a sorted structured view +
+        # searchsorted; duplicate hits resolve row-major like the loop did
+        coords = np.ascontiguousarray(id_to_coords)
+        pair_dt = np.dtype([("x", coords.dtype), ("y", coords.dtype)])
+        table = coords.view(pair_dt).ravel()
+        queries = np.ascontiguousarray(
+            np.stack([invmap_x.ravel(), invmap_y.ravel()], axis=1)
+            .astype(coords.dtype, copy=False)).view(pair_dt).ravel()
+        order = np.argsort(table)
+        pos = np.clip(np.searchsorted(table[order], queries),
+                      0, table.shape[0] - 1)
+        hit = table[order[pos]] == queries
         id_to_color_map = np.zeros([id_to_coords.shape[0], 3], dtype=bool)
-        for j in range(self.h):
-            for i in range(self.w):
-                key = (invmap_x[j, i], invmap_y[j, i])
-                if key in coords_to_id:
-                    id_to_color_map[coords_to_id[key]] = color_map[j, i]
+        id_to_color_map[order[pos[hit]]] = color_map.reshape(-1, 3)[hit]
         mask = np.ones([id_to_coords.shape[0]], dtype=bool)
         mask[zero_coord_ids] = False
         assert (id_to_color_map[mask].sum(axis=-1) == 1).all()

@@ -185,6 +185,10 @@ def accumulate_events_at_time(events: np.ndarray, timestamps: np.ndarray,
 
     events: [N, 3] (xy, t, p); emits one aggregated event per active pixel
     per sampled interval; optionally the zero-event (inactive) pixels.
+
+    numpy-only by design: like its upstream counterpart, this variant is
+    not used by the training path (only the count-based accumulator has a
+    C++ twin); it exists for offline analysis parity.
     """
     events = np.asarray(events, dtype=np.int64)
     sampled = np.asarray(timestamps)[::n + 1]

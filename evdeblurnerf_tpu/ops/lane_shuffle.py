@@ -110,8 +110,14 @@ def _lane_take_3d(x, idx, interpret=False):
 
 
 def _take_impl(x, idx, interpret=False, force_jnp=False):
-    """Dispatch: Pallas lane gather on TPU, jnp elsewhere."""
-    if force_jnp or not (use_pallas() or interpret):
+    """Dispatch: Pallas lane gather on TPU, jnp elsewhere.
+
+    The lane kernels hold one sample axis per 128-lane vreg, so configs
+    with a sample axis wider than 128 (e.g. N_samples+N_importance > 128)
+    take the jnp path — correct at any width, just without the kernel.
+    """
+    wide = x.shape[-1] > LANES or idx.shape[-1] > LANES
+    if force_jnp or wide or not (use_pallas() or interpret):
         if x.ndim == 3:
             return jnp.take_along_axis(x, idx[:, None, :], axis=-1)
         return jnp.take_along_axis(x, idx, axis=-1)
@@ -130,7 +136,8 @@ def permute_lanes(x, perm, inv_perm):
 
     x: [R, S] or [R, C, S]; perm/inv_perm: [R, S] int32 with
     ``perm[inv_perm] == iota`` (a true permutation — the VJP is the
-    gather by ``inv_perm``). Last axis must be <= 128.
+    gather by ``inv_perm``). Sample axes wider than 128 lanes fall back
+    to the jnp path (see ``_take_impl``).
     """
     return _take_impl(x, perm)
 
@@ -180,7 +187,8 @@ def _cdf_take_pallas(cdf, bins, below, above, interpret=False):
     B = _BLOCK_ROWS
     pad_r = -R % B
     cdfp = jnp.pad(cdf, ((0, pad_r), (0, LANES - M)))
-    # bins is one shorter than cdf; pad independently
+    # at the sample_pdf call site cdf and bins have the same width [R, M];
+    # pad independently anyway so the kernel tolerates either convention
     binsp = jnp.pad(bins, ((0, pad_r), (0, LANES - bins.shape[1])))
     belowp = jnp.pad(below, ((0, pad_r), (0, LANES - N)))
     abovep = jnp.pad(above, ((0, pad_r), (0, LANES - N)))
@@ -206,7 +214,8 @@ def cdf_take(cdf, bins, below, above, interpret=False):
     ref: utils/rays.py:188). Returns (cdf_below, cdf_above, bins_below,
     bins_above), each [R, N].
     """
-    if not (use_pallas() or interpret):
+    wide = max(cdf.shape[1], bins.shape[1], below.shape[1]) > LANES
+    if wide or not (use_pallas() or interpret):
         cb = jnp.take_along_axis(cdf, below, axis=-1)
         ca = jnp.take_along_axis(cdf, above, axis=-1)
         bb = jnp.take_along_axis(bins, below, axis=-1)

@@ -175,6 +175,14 @@ def pack_line(line):
 def _axis_setup(f, size):
     """Shared floor/clip/weight/validity logic for one axis.
 
+    Precondition: ``f`` is finite. The clip below keeps every index the
+    gather sees in [0, size-2], which is what lets ``_take_rows`` use
+    ``promise_in_bounds`` — but NaN/Inf coords (e.g. an upstream density
+    blowup) cast to undefined int32 and would read arbitrary table rows
+    silently. Training coords come from clipped NDC/AABB mapping and are
+    finite by construction; the weights also zero out any out-of-domain
+    contribution.
+
     Returns (base row index in [0, size-2], offset in {-1,0,1}, w0, w1)
     where w includes the zeros-padding validity, and ``offset`` says where
     the two needed texels sit inside the packed (base, base+1) pair:

@@ -68,18 +68,38 @@ def test_permute_lanes_3d_grad():
 
 
 def test_cdf_take_matches_jnp():
+    # call-site shapes from sample_pdf: cdf and bins are both [R, M] and
+    # above reaches M-1 unclamped
     rng = np.random.default_rng(4)
     R, M, N = 33, 63, 64
     cdf = jnp.asarray(np.sort(rng.uniform(size=(R, M)), axis=-1), jnp.float32)
-    bins = jnp.asarray(rng.normal(size=(R, M - 1)), jnp.float32)
-    inds = jnp.asarray(rng.integers(0, M, (R, N)), jnp.int32)
+    bins = jnp.asarray(rng.normal(size=(R, M)), jnp.float32)
+    inds = jnp.asarray(rng.integers(0, M + 1, (R, N)), jnp.int32)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(M - 1, inds)
-    got = ls.cdf_take(cdf, bins, jnp.minimum(below, M - 2),
-                      jnp.minimum(above, M - 2), interpret=True)
-    want = (jnp.take_along_axis(cdf, jnp.minimum(below, M - 2), axis=-1),
-            jnp.take_along_axis(cdf, jnp.minimum(above, M - 2), axis=-1),
-            jnp.take_along_axis(bins, jnp.minimum(below, M - 2), axis=-1),
-            jnp.take_along_axis(bins, jnp.minimum(above, M - 2), axis=-1))
+    got = ls.cdf_take(cdf, bins, below, above, interpret=True)
+    want = (jnp.take_along_axis(cdf, below, axis=-1),
+            jnp.take_along_axis(cdf, above, axis=-1),
+            jnp.take_along_axis(bins, below, axis=-1),
+            jnp.take_along_axis(bins, above, axis=-1))
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_take_impl_wide_axis_falls_back():
+    # sample axes wider than 128 lanes must route to the jnp path (e.g.
+    # N_samples + N_importance = 256) instead of crashing at trace time
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(7, 200)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 200, (7, 200)), jnp.int32)
+    got = ls._take_impl(x, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), np.asarray(jnp.take_along_axis(x, idx, axis=-1)))
+    cdf = jnp.asarray(np.sort(rng.uniform(size=(4, 200)), axis=-1),
+                      jnp.float32)
+    bins = jnp.asarray(rng.normal(size=(4, 200)), jnp.float32)
+    b = jnp.asarray(rng.integers(0, 200, (4, 32)), jnp.int32)
+    a = jnp.asarray(rng.integers(0, 200, (4, 32)), jnp.int32)
+    got = ls.cdf_take(cdf, bins, b, a, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got[0]), np.asarray(jnp.take_along_axis(cdf, b, axis=-1)))
