@@ -1,0 +1,88 @@
+"""Cross-implementation parity against the recorded PyTorch reference.
+
+The fixtures in tests/goldens/oracle_*.npz hold outputs produced by the
+ACTUAL reference implementation (/root/reference, torch CPU) with identical
+transplanted weights — generated and live-verified by
+tools/make_reference_fixtures.py (generation-time max|diff| ~1e-7 across all
+variants). These tests replay the jax side against those recorded numbers,
+covering the whole training forward (all three kernel types; RBK including
+AWP+MAM), the eval render path (NDC + det sample_pdf + dual-stage c2f), the
+CRF heads, egm_loss, and deterministic sample_pdf.
+
+Reference code covered: networks/renderer.py:129-466,
+networks/pdrf/blurmodel.py:109-224, networks/dpnerf/{blurmodel,awp,mam}.py,
+networks/tonemapping.py:7-154, utils/rays.py:103-193,
+utils/events.py:260-284.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import oracle_common as oc
+
+ATOL = 2e-5
+RTOL = 2e-5
+
+
+def _load(path):
+    assert os.path.exists(path), (
+        f"oracle fixture {path} missing; regenerate with "
+        "python tools/make_reference_fixtures.py (needs torch + the "
+        "reference checkout)")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("name", sorted(oc.VARIANTS))
+def test_forward_matches_reference(name):
+    data = _load(oc.oracle_path(name))
+    flat = {k[len("var/"):]: data[k] for k in data.files
+            if k.startswith("var/")}
+    ref = {k[len("out/"):]: data[k] for k in data.files
+           if k.startswith("out/")}
+
+    _, template = oc.init_variant(name)
+    variables = oc.restore_like(template, flat)
+    mine = oc.run_jax(name, variables)
+
+    missing = set(ref) - set(mine)
+    assert not missing, f"jax side lacks outputs {missing}"
+    for k in sorted(ref):
+        np.testing.assert_allclose(
+            mine[k], ref[k], rtol=RTOL, atol=ATOL,
+            err_msg=f"{name}: {k} diverged from the PyTorch reference")
+
+
+def test_crf_matches_reference():
+    data = _load(os.path.join(oc.GOLDEN_DIR, "oracle_components.npz"))
+    flat = {k[len("var/"):]: data[k] for k in data.files
+            if k.startswith("var/")}
+    crf = oc.build_crf()
+    x, _ = oc.make_crf_inputs()
+    import jax
+
+    template = crf.init(jax.random.PRNGKey(9), x, mode="init_all")
+    params = oc.restore_like(dict(template), flat)
+    mine = oc.run_jax_crf(params)
+    for k in sorted(mine):
+        np.testing.assert_allclose(
+            mine[k], data[f"crf/{k}"], rtol=RTOL, atol=ATOL,
+            err_msg=f"CRF {k} diverged from the PyTorch reference")
+
+
+def test_egm_loss_matches_reference():
+    data = _load(os.path.join(oc.GOLDEN_DIR, "oracle_components.npz"))
+    mine = oc.run_jax_egm()
+    for k in sorted(mine):
+        np.testing.assert_allclose(
+            mine[k], data[f"egm/{k}"], rtol=RTOL, atol=ATOL,
+            err_msg=f"egm_loss {k} diverged from the PyTorch reference")
+
+
+def test_sample_pdf_matches_reference():
+    data = _load(os.path.join(oc.GOLDEN_DIR, "oracle_components.npz"))
+    mine = oc.run_jax_pdf()
+    np.testing.assert_allclose(
+        mine["det"], data["pdf/det"], rtol=RTOL, atol=ATOL,
+        err_msg="sample_pdf(det) diverged from the PyTorch reference")
