@@ -33,17 +33,78 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.5 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 LANES = 128
 _BLOCK_ROWS = 1024
 
 
 def use_pallas() -> bool:
-    """Lane kernels are TPU-only; CPU (tests, multichip dryrun) uses the
-    identical-semantics jnp fallback."""
+    """Lane kernels run on TPU; CPU (tests, multichip dryrun) can opt into
+    interpret mode via ``EVDN_LANE_KERNELS_INTERPRET=1`` (exact same kernel
+    code path, Pallas interpreter backend) or falls back to jnp."""
     if os.environ.get("EVDN_DISABLE_LANE_KERNELS"):
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() == "tpu":
+        return True
+    return bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET"))
+
+
+def _interpret_default() -> bool:
+    """Interpret-mode Pallas for non-TPU backends that opted in."""
+    return (jax.default_backend() != "tpu"
+            and bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET")))
+
+
+# ---------------------------------------------------------------------------
+# SPMD composition: pallas_call has no GSPMD partitioning rule, so under a
+# multi-device jit GSPMD would all-gather the operands around the kernel.
+# Every kernel here is row-parallel (rows = rays), so the train loop
+# registers its data-parallel mesh and the kernels wrap themselves in
+# shard_map over the batch axis — each device runs the kernel on its own
+# row shard, no collectives.
+# ---------------------------------------------------------------------------
+
+_MESH = None          # (Mesh, axis_name) registered by the train loop
+_IN_SHARD_MAP = False  # guard against nested shard_map
+
+
+def set_mesh(mesh, axis_name="data"):
+    """Register the data-parallel mesh the lane kernels should shard over
+    (None to clear). Called by the train loop / dryrun after mesh setup."""
+    global _MESH
+    _MESH = None if mesh is None else (mesh, axis_name)
+
+
+def _shmap_rows(fn, n_in, n_out, rows):
+    """Wrap ``fn`` (row-parallel, leading axis = rows) in shard_map over the
+    registered mesh when the row count divides evenly; identity otherwise."""
+    global _IN_SHARD_MAP
+    if _MESH is None or _IN_SHARD_MAP:
+        return fn
+    mesh, axis = _MESH
+    n_dev = mesh.shape[axis]
+    if n_dev <= 1 or rows % n_dev != 0:
+        return fn
+    spec = P(axis)
+
+    def wrapped(*args):
+        global _IN_SHARD_MAP
+        inner = _shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
+                           out_specs=(spec,) * n_out if n_out > 1 else spec,
+                           check_vma=False)
+        _IN_SHARD_MAP = True
+        try:
+            return inner(*args)
+        finally:
+            _IN_SHARD_MAP = False
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -121,9 +182,11 @@ def _take_impl(x, idx, interpret=False, force_jnp=False):
         if x.ndim == 3:
             return jnp.take_along_axis(x, idx[:, None, :], axis=-1)
         return jnp.take_along_axis(x, idx, axis=-1)
-    if x.ndim == 3:
-        return _lane_take_3d(x, idx, interpret=interpret)
-    return _lane_take_2d(x, idx, interpret=interpret)
+    interpret = interpret or _interpret_default()
+    take = _lane_take_3d if x.ndim == 3 else _lane_take_2d
+    fn = _shmap_rows(functools.partial(take, interpret=interpret),
+                     n_in=2, n_out=1, rows=x.shape[0])
+    return fn(x, idx)
 
 
 # ---------------------------------------------------------------------------
@@ -221,4 +284,7 @@ def cdf_take(cdf, bins, below, above, interpret=False):
         bb = jnp.take_along_axis(bins, below, axis=-1)
         ba = jnp.take_along_axis(bins, above, axis=-1)
         return cb, ca, bb, ba
-    return _cdf_take_pallas(cdf, bins, below, above, interpret=interpret)
+    interpret = interpret or _interpret_default()
+    fn = _shmap_rows(functools.partial(_cdf_take_pallas, interpret=interpret),
+                     n_in=4, n_out=4, rows=cdf.shape[0])
+    return fn(cdf, bins, below, above)

@@ -22,6 +22,7 @@ from ..data import (ImageBatchSampler, LLFFDataset, LLFFEventsDataset,
 from ..models.renderer import config_from_args
 from ..models.system import EvDeblurNeRF, kernel_config_from_args
 from ..models.tonemapping import TonemappingTransform
+from ..ops import lane_shuffle
 from ..parallel import (batch_sharding, create_mesh, replicated_sharding)
 from ..utils.logger import Logger
 from ..utils.metrics import compute_img_metric
@@ -173,8 +174,10 @@ def train(args, max_iters: Optional[int] = None):
     if args.config and os.path.exists(args.config):
         shutil.copyfile(args.config, os.path.join(expdir, "config.txt"))
 
-    # mesh + batch sizes
+    # mesh + batch sizes; the lane kernels shard over the same mesh
+    # (shard_map, no GSPMD replication around pallas_call)
     mesh = create_mesh()
+    lane_shuffle.set_mesh(mesh if mesh.size > 1 else None)
     n_dev = mesh.size
     args.N_rand = _round_to_devices(args.N_rand, n_dev, "N_rand")
     args.events_N_rand = _round_to_devices(args.events_N_rand, n_dev,

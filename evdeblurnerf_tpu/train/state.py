@@ -45,12 +45,19 @@ def create_train_state(model, crf_module, tx, key, sample_rays,
 
     k_nerf, k_crf, k_fit, k_call = jax.random.split(key, 4)
     force_naive = model.kcfg.kernel_type == "none"
-    variables = model.init(k_nerf, k_call, sample_rays, sample_rays_info,
-                           force_naive=force_naive, return_pts0_rgb=True)
+    # jit the init trace: on remote backends (axon tunnel) an un-jitted init
+    # dispatches hundreds of tiny eager ops, each paying a compile RPC —
+    # measured many MINUTES of startup; as one jitted program it is seconds
+    init_fn = jax.jit(model.init,
+                      static_argnames=("force_naive", "return_pts0_rgb"))
+    variables = init_fn(k_nerf, k_call, jnp.asarray(sample_rays),
+                        jax.tree_util.tree_map(jnp.asarray, sample_rays_info),
+                        force_naive=force_naive, return_pts0_rgb=True)
     nerf_params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    crf_vars = crf_module.init(k_crf, jnp.zeros((4, 3)), mode="init_all")
+    crf_vars = jax.jit(crf_module.init, static_argnames=("mode",))(
+        k_crf, jnp.zeros((4, 3)), mode="init_all")
     crf_params = dict(crf_vars.get("params", {}))
     if crf_identity_prefit:
         # jitted lax.scan identity pre-fit (ref: tonemapping.py:29-57);

@@ -90,10 +90,16 @@ def _make_batches():
     return batch, ev_batch
 
 
-def _run_one_step(n_devices):
+def _run_one_step(n_devices, lane_kernels=False):
+    from evdeblurnerf_tpu.ops import lane_shuffle
+
     args, model, crf = _setup()
     batch, ev_batch = _make_batches()
     mesh = create_mesh(jax.devices()[:n_devices])
+    if lane_kernels:
+        # exercise the REAL Pallas kernels (interpreter backend) inside the
+        # sharded step — the same composition the TPU bench runs
+        lane_shuffle.set_mesh(mesh if n_devices > 1 else None)
     key = jax.random.PRNGKey(0)
     tx = build_optimizer(args.lrate, args.lrate_decay)
     rays_info = {k: batch[k] for k in
@@ -123,6 +129,28 @@ def test_dp_step_matches_single_device():
     loss1, grads1 = _run_one_step(1)
     loss8, grads8 = _run_one_step(8)
     assert np.isfinite(loss1)
+    _assert_grads_close(loss1, grads1, loss8, grads8)
+
+
+@pytest.mark.slow
+def test_dp_step_with_lane_kernels_matches_single_device(monkeypatch):
+    """The headline composition: Pallas lane kernels (interpret mode on this
+    CPU mesh; identical kernel code) wrapped in shard_map inside the
+    8-device DP step must match the plain single-device step."""
+    from evdeblurnerf_tpu.ops import lane_shuffle
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    monkeypatch.setenv("EVDN_LANE_KERNELS_INTERPRET", "1")
+    try:
+        loss1, grads1 = _run_one_step(1)
+        loss8, grads8 = _run_one_step(8, lane_kernels=True)
+    finally:
+        lane_shuffle.set_mesh(None)
+    assert np.isfinite(loss1)
+    _assert_grads_close(loss1, grads1, loss8, grads8)
+
+
+def _assert_grads_close(loss1, grads1, loss8, grads8):
     # reduction order over shards may differ from the unsharded sum, so
     # allow float32 reduction-order noise but nothing structural
     np.testing.assert_allclose(loss8, loss1, rtol=1e-6, atol=1e-7)
