@@ -10,6 +10,7 @@ rendered by one jit-compiled chunk program.
 
 from __future__ import annotations
 
+import functools as _functools
 import time
 from typing import Optional
 
@@ -36,8 +37,18 @@ def build_chunk_renderer(model, mesh=None):
 
 def render_poses(variables, chunk_fn, poses, H: int, W: int, K,
                  chunk: int = 16384, render_factor: int = 0,
-                 mesh=None, verbose: bool = False):
-    """Render each [3,4] pose; returns (rgbs [N,H,W,3], depths [N,H,W])."""
+                 mesh=None, verbose: bool = False, max_inflight: int = 4):
+    """Render each [3,4] pose; returns (rgbs [N,H,W,3], depths [N,H,W]).
+
+    All poses' rays are streamed through the jitted chunk program as one
+    pipeline: jax dispatch is asynchronous, so up to ``max_inflight`` chunks
+    are in flight on the device while the host converts finished chunks —
+    the per-chunk host sync of the naive loop (dispatch, then immediately
+    ``np.asarray``) left the device idle during every host copy
+    (PERF_NOTES.md round 3). Ref: networks/renderer.py:594-626 render_path.
+    """
+    from collections import deque
+
     if render_factor > 0:      # fast preview (ref: renderer.py:598-601)
         H, W = H // render_factor, W // render_factor
         K = np.array(K, np.float64).copy()
@@ -46,35 +57,66 @@ def render_poses(variables, chunk_fn, poses, H: int, W: int, K,
     n_dev = 1 if mesh is None else mesh.size
     chunk = -(-chunk // n_dev) * n_dev
 
-    rgbs, depths = [], []
-    for pi, c2w in enumerate(np.asarray(poses)):
-        t0 = time.time()
-        rays_o, rays_d = get_rays_np(H, W, K, c2w[:3, :4])
-        rays = np.stack([rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)],
-                        axis=-1)
-        n = rays.shape[0]
-        pad = -n % chunk
-        if pad:
-            rays = np.concatenate([rays, np.repeat(rays[-1:], pad, 0)], 0)
-        rgb_parts, depth_parts = [], []
-        for s in range(0, rays.shape[0], chunk):
-            rgb, depth, _ = chunk_fn(variables, rays[s:s + chunk])
-            rgb_parts.append(np.asarray(rgb))
-            depth_parts.append(np.asarray(depth))
-        rgb = np.concatenate(rgb_parts, 0)[:n].reshape(H, W, 3)
-        depth = np.concatenate(depth_parts, 0)[:n].reshape(H, W)
-        rgbs.append(rgb)
-        depths.append(depth)
-        if verbose:
-            print(f"  pose {pi}: {time.time() - t0:.2f}s")
-    return np.stack(rgbs), np.stack(depths)
+    poses = np.asarray(poses)
+    n_poses = poses.shape[0]
+    n_per = H * W
+
+    def ray_chunks():
+        """Yield fixed-size ray chunks across the whole pose stream."""
+        tail = None
+        for c2w in poses:
+            rays_o, rays_d = get_rays_np(H, W, K, c2w[:3, :4])
+            rays = np.stack([rays_o.reshape(-1, 3), rays_d.reshape(-1, 3)],
+                            axis=-1)
+            if tail is not None:
+                rays = np.concatenate([tail, rays], 0)
+                tail = None
+            full = rays.shape[0] - rays.shape[0] % chunk
+            for s in range(0, full, chunk):
+                yield rays[s:s + chunk]
+            if full < rays.shape[0]:
+                tail = rays[full:]
+        if tail is not None:
+            pad = -tail.shape[0] % chunk
+            yield np.concatenate([tail, np.repeat(tail[-1:], pad, 0)], 0)
+
+    t0 = time.time()
+    rgb_parts, depth_parts = [], []
+    pending = deque()
+
+    def drain_one():
+        rgb, depth, _ = pending.popleft()
+        rgb_parts.append(np.asarray(rgb))
+        depth_parts.append(np.asarray(depth))
+
+    for rays in ray_chunks():
+        pending.append(chunk_fn(variables, rays))
+        if len(pending) > max_inflight:
+            drain_one()
+    while pending:
+        drain_one()
+
+    rgb = np.concatenate(rgb_parts, 0)[:n_poses * n_per]
+    depth = np.concatenate(depth_parts, 0)[:n_poses * n_per]
+    if verbose:
+        dt = time.time() - t0
+        print(f"  rendered {n_poses} poses ({n_poses * n_per} rays) "
+              f"in {dt:.2f}s ({n_poses * n_per / max(dt, 1e-9):,.0f} rays/s)")
+    return (rgb.reshape(n_poses, H, W, 3),
+            depth.reshape(n_poses, H, W))
+
+
+@_functools.cache
+def _crf_fn(crf_module, skip_learn_crf):
+    return jax.jit(lambda p, x: crf_module.apply(
+        {"params": p}, x, mode="encode_rgb", skip_learn_crf=skip_learn_crf))
 
 
 def apply_crf_host(crf_module, crf_params, rgbs, skip_learn_crf=False):
-    """Apply the rgb CRF to eval renders (ref: run_nerf.py:660)."""
-    fn = jax.jit(lambda p, x: crf_module.apply(
-        {"params": p}, x, mode="encode_rgb", skip_learn_crf=skip_learn_crf))
-    return np.asarray(fn(crf_params, rgbs))
+    """Apply the rgb CRF to eval renders (ref: run_nerf.py:660). The jitted
+    fn is cached per (module, skip) — a fresh ``jax.jit(lambda ...)`` per
+    call would retrace and recompile at every testset/video cadence."""
+    return np.asarray(_crf_fn(crf_module, skip_learn_crf)(crf_params, rgbs))
 
 
 def depth_colormap(depth: np.ndarray, near: Optional[float] = None,
