@@ -249,6 +249,12 @@ FLAG_SPEC = [
                "scatter stays exact f32. Validated default: the 2k-iter "
                "full-method trajectory is indistinguishable from f32 "
                "(PERF_NOTES.md). --no_triplane_bf16 restores exact f32"),
+    _bool("triplane_line_matmul", default=False,
+          help="route line-table row lookups through an exact one-hot MXU "
+               "matmul: the backward becomes a second matmul instead of a "
+               "scatter-add (with bf16 tables the backward rows are "
+               "bf16-rounded before the f32 accumulate; f32 mode uses "
+               "HIGHEST-precision passes and stays exact)"),
     _flag("matmul_precision", str, "default",
           choices=["default", "high", "highest"],
           help="jax default matmul precision; 'highest' forces exact f32 "

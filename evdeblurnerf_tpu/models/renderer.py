@@ -83,6 +83,9 @@ class RenderConfig:
     # TPU-native: bf16 forward table gathers (backward stays f32);
     # off by default for exact f32 parity
     triplane_bf16: bool = False
+    # TPU-native: line-table rows via one-hot MXU matmul (backward becomes
+    # a matmul instead of a scatter-add)
+    triplane_line_matmul: bool = False
     # kernel / AWP wiring (ref: renderer.py:26-39)
     kernel_type: str = "none"
     kernel_feat_cnl: int = 15
@@ -119,6 +122,7 @@ def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
         H=int(H), W=int(W), focal=float(focal),
         render_rmnearplane=args.render_rmnearplane,
         triplane_bf16=getattr(args, "triplane_bf16", False),
+        triplane_line_matmul=getattr(args, "triplane_line_matmul", False),
         rgb_activate=args.rgb_activate,
         sigma_activate=args.sigma_activate,
         rgb_add_bias=args.rgb_add_bias,
@@ -171,6 +175,7 @@ class Renderer(nn.Module):
                 rgb_activate="relu", sigma_activate="relu",
                 app_actfn=cfg.coarse_app_actfn,
                 table_bf16=cfg.triplane_bf16,
+                line_matmul=cfg.triplane_line_matmul,
                 render_rmnearplane=cfg.render_rmnearplane,
                 name="mlp_coarse")
             if cfg.N_importance > 0:
@@ -188,6 +193,7 @@ class Renderer(nn.Module):
                     rgb_activate="none", sigma_activate="relu",
                     app_actfn=cfg.fine_app_actfn,
                     table_bf16=cfg.triplane_bf16,
+                    line_matmul=cfg.triplane_line_matmul,
                     render_rmnearplane=cfg.render_rmnearplane,
                     name="mlp_fine")
             else:

@@ -60,6 +60,7 @@ class VoxelNeRF(nn.Module):
     render_rmnearplane: int = 0
     packed_sampling: bool = True       # neighbor-packed single-gather path
     table_bf16: bool = False           # bf16 forward gathers, f32 backward
+    line_matmul: bool = False          # line rows via one-hot MXU matmul
 
     def setup(self):
         grid = compute_grid_size(self.aabb[0], self.aabb[1], self.n_voxels)
@@ -121,7 +122,8 @@ class VoxelNeRF(nn.Module):
         if self.packed_sampling:
             pp, pl_ = triplane.pack_grids(self.app_plane, self.app_line)
             feats = triplane.triplane_features_packed(
-                pp, pl_, xyz, table_bf16=self.table_bf16)
+                pp, pl_, xyz, table_bf16=self.table_bf16,
+                line_matmul=self.line_matmul)
         else:
             feats = triplane.triplane_features(self.app_plane, self.app_line,
                                                xyz)

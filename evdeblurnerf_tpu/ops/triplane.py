@@ -239,22 +239,56 @@ def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False):
             + rows[:, 3 * C:] * (sy1 * sx1)[:, None])
 
 
-def grid_sample_1d_packed(packed, D, y, table_bf16=False):
+def _line_rows_matmul(packed, b, table_bf16):
+    """Line-row lookup as an exact one-hot MXU matmul (plain XLA).
+
+    ``onehot(b) @ packed``: 0/1 entries are exactly representable in bf16,
+    so the bf16 MXU pass returns exactly the same rows as a gather through
+    a bf16 table view; autodiff turns the backward into
+    ``onehot^T @ d_rows`` — a second matmul instead of the ~9 ns/row
+    scatter-add. The one-hot ([N, D], D = line resolution <= ~1k) is
+    rematerialized in the backward (jax.checkpoint, saves only the int32
+    indices) so it never lives across the fwd/bwd boundary.
+
+    Unlike ops/line_matmul.py (the round-2 Pallas experiment that LOST in
+    the full step), this is ordinary HLO: no custom_vjp fusion barrier, no
+    Pallas operand layout pinning — XLA keeps fusing the sampling epilogues
+    around it. f32 mode uses HIGHEST dot precision for exact-f32 parity.
+    """
+    D = packed.shape[0]
+    dt = jnp.bfloat16 if table_bf16 else jnp.float32
+    precision = None if table_bf16 else jax.lax.Precision.HIGHEST
+
+    def take(packed, b):
+        onehot = (b[:, None] == jnp.arange(D, dtype=b.dtype)[None, :])
+        return jax.lax.dot(onehot.astype(dt), packed.astype(dt),
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+
+    return jax.checkpoint(
+        take, policy=jax.checkpoint_policies.nothing_saveable)(packed, b)
+
+
+def grid_sample_1d_packed(packed, D, y, table_bf16=False, line_matmul=False):
     """Linear sample from a neighbor-packed line: one gather per point.
 
     packed: [D, 2C]; y: [N] in [-1, 1]. Same weights as
     :func:`grid_sample_1d` (slot-weight factoring, see above).
 
-    Note: replacing this take's scatter-add VJP with the one-hot MXU
-    matmul (ops/line_matmul.py) was measured SLOWER in the full step
-    (1177 vs 939 ms): the custom_vjp fusion barrier broke XLA's fused
-    backward epilogues and elementwise time exploded (+250 ms). Kept as
-    a standalone op; see PERF_NOTES.md.
+    ``line_matmul`` routes the row lookup through :func:`_line_rows_matmul`
+    (one-hot MXU matmul; backward is a matmul instead of a scatter-add).
+    Note: the round-2 Pallas variant of this idea (ops/line_matmul.py) was
+    measured SLOWER in the full step (1177 vs 939 ms) because its
+    custom_vjp boundary broke XLA's fused backward epilogues; the plain-XLA
+    form here has no such barrier. See PERF_NOTES.md.
     """
     C = packed.shape[-1] // 2
     fy = (y + 1.0) * 0.5 * (D - 1)
     b, s0, s1 = _slot_weights(fy, D)
-    rows = _take_rows(packed, b, bf16=table_bf16)     # [N, 2C]
+    if line_matmul:
+        rows = _line_rows_matmul(packed, b, table_bf16)   # [N, 2C]
+    else:
+        rows = _take_rows(packed, b, bf16=table_bf16)     # [N, 2C]
     return rows[:, :C] * s0[:, None] + rows[:, C:] * s1[:, None]
 
 
@@ -267,7 +301,7 @@ def pack_grids(planes, lines):
 
 
 def triplane_features_packed(packed_planes, packed_lines, xyz,
-                             table_bf16=False):
+                             table_bf16=False, line_matmul=False):
     """Packed-path equivalent of :func:`triplane_features`."""
     feats = []
     for i in range(3):
@@ -278,7 +312,8 @@ def triplane_features_packed(packed_planes, packed_lines, xyz,
                                            table_bf16=table_bf16)
         packed_l, D = packed_lines[i]
         line_feat = grid_sample_1d_packed(packed_l, D, xyz[:, VEC_MODE[i]],
-                                          table_bf16=table_bf16)
+                                          table_bf16=table_bf16,
+                                          line_matmul=line_matmul)
         feats.append(plane_feat * line_feat)
     return jnp.concatenate(feats, axis=-1)
 

@@ -129,3 +129,50 @@ def test_bf16_forward_close_exact_backward():
     # identical scatter-adds: the custom VJP routes the f32 cotangent
     # straight into the f32 table gradient
     np.testing.assert_array_equal(np.asarray(d16), np.asarray(d32))
+
+
+def test_line_matmul_matches_gather():
+    """One-hot MXU line path: f32 mode is exact vs the gather path in both
+    directions (incl. the y-gradient through the slot weights); bf16 mode
+    matches the bf16 gather forward exactly and stays close in backward."""
+    import jax
+
+    from evdeblurnerf_tpu.ops.triplane import (grid_sample_1d_packed,
+                                               pack_line)
+
+    rng = np.random.default_rng(3)
+    line = jnp.asarray(rng.normal(size=(6, 33)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1.2, 1.2, 301), jnp.float32)  # incl. OOB
+    packed = pack_line(line)
+    D = line.shape[1]
+
+    ref = grid_sample_1d_packed(packed, D, y)
+    got = grid_sample_1d_packed(packed, D, y, line_matmul=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # bf16 forward: one-hot rows through a bf16 table == bf16 gather rows
+    ref16 = grid_sample_1d_packed(packed, D, y, table_bf16=True)
+    got16 = grid_sample_1d_packed(packed, D, y, table_bf16=True,
+                                  line_matmul=True)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16),
+                               atol=1e-6)
+
+    g = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+
+    def loss(packed, y, mm, bf16=False):
+        out = grid_sample_1d_packed(packed, D, y, table_bf16=bf16,
+                                    line_matmul=mm)
+        return jnp.sum(out * g)
+
+    d_ref = jax.grad(loss, argnums=(0, 1))(packed, y, False)
+    d_got = jax.grad(loss, argnums=(0, 1))(packed, y, True)
+    np.testing.assert_allclose(np.asarray(d_got[0]), np.asarray(d_ref[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_got[1]), np.asarray(d_ref[1]),
+                               atol=1e-5)
+
+    # bf16 backward: rows are bf16-rounded pre-accumulate — close, not equal
+    d16_ref = jax.grad(loss)(packed, y, False, True)
+    d16_got = jax.grad(loss)(packed, y, True, True)
+    np.testing.assert_allclose(np.asarray(d16_got), np.asarray(d16_ref),
+                               rtol=2e-2, atol=2e-2)
