@@ -15,6 +15,10 @@ PyTorch reference on A100: ~2.0 it/s at 18,432 rays/iter = 36,864 rays/s
 (Deblur-NeRF-family trainers at this exact per-iter ray/sample budget run
 1.5-2.5 it/s on A100-class GPUs). The BASELINE.json north-star of >=5x
 A100 therefore corresponds to vs_baseline >= 5.0.
+
+``run()`` is importable with overrides (batch size, grad_accum, flag
+toggles, steps in flight) — tools/sweep_batch.py uses it for the
+headroom sweeps recorded in PERF_NOTES.md.
 """
 
 from __future__ import annotations
@@ -29,10 +33,11 @@ A100_REFERENCE_RAYS_PER_SEC = 36_864.0
 N_RAND = 1024
 PTNUM = 10
 EVENTS_N_RAND = 4096
-RAYS_PER_ITER = N_RAND * PTNUM + 2 * EVENTS_N_RAND
 
 
-def main():
+def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
+        steps_in_flight=1, iters=10, arg_overrides=None, debug=False):
+    """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
     from evdeblurnerf_tpu.config import default_args
@@ -46,9 +51,11 @@ def main():
                                              compute_schedule_weights)
     from evdeblurnerf_tpu.utils.misc import annealing_interpolator
 
+    rays_per_iter = n_rand * PTNUM + 2 * events_n_rand
+
     H, W, focal = 480, 640, 500.0
     args = default_args(
-        N_rand=N_RAND, events_N_rand=EVENTS_N_RAND,
+        N_rand=n_rand, events_N_rand=events_n_rand,
         N_samples=64, N_importance=64, mode="c2f",
         kernel_type="RBK", kernel_ptnum=PTNUM, kernel_rbk_use_origin=True,
         kernel_use_awp=True, kernel_img_embed=32,
@@ -58,7 +65,8 @@ def main():
         tone_mapping_events_type="learn",
         tone_mapping_events_add_bii="pos-neg",
         lrate=5e-3, lrate_decay=10, seed=0,
-        remat=False, grad_accum=2,
+        remat=False, grad_accum=grad_accum,
+        **(arg_overrides or {}),
     )
     args.events_threshold_pos = args.events_threshold
     args.events_threshold_neg = args.events_threshold
@@ -74,7 +82,8 @@ def main():
         fine_hidden_dim=256, fine_hidden_dim_color=256,
         fine_geo_feat_dim=128, coarse_app_dim=32, fine_app_dim=32,
         kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
-        triplane_bf16=args.triplane_bf16)
+        triplane_bf16=args.triplane_bf16,
+        triplane_line_matmul=args.triplane_line_matmul)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)
@@ -91,22 +100,22 @@ def main():
         return np.stack([o, d], axis=-1)
 
     batch = {
-        "rays": make_rays(N_RAND, 0),
-        "rays_x": rng.uniform(0, W, N_RAND).astype(np.float32),
-        "rays_y": rng.uniform(0, H, N_RAND).astype(np.float32),
-        "images_idx": rng.integers(0, 30, N_RAND).astype(np.int32),
+        "rays": make_rays(n_rand, 0),
+        "rays_x": rng.uniform(0, W, n_rand).astype(np.float32),
+        "rays_y": rng.uniform(0, H, n_rand).astype(np.float32),
+        "images_idx": rng.integers(0, 30, n_rand).astype(np.int32),
         "poses": np.broadcast_to(
             np.concatenate([np.eye(3), np.zeros((3, 1))], -1),
-            (N_RAND, 3, 4)).astype(np.float32),
-        "rgbsf": rng.uniform(0, 1, (N_RAND, 3)).astype(np.float32),
+            (n_rand, 3, 4)).astype(np.float32),
+        "rgbsf": rng.uniform(0, 1, (n_rand, 3)).astype(np.float32),
     }
     ev_batch = {
-        "events_rays_start": make_rays(EVENTS_N_RAND, 1),
-        "events_rays_end": make_rays(EVENTS_N_RAND, 2),
+        "events_rays_start": make_rays(events_n_rand, 1),
+        "events_rays_end": make_rays(events_n_rand, 2),
         "events_pos_pol_cumsum":
-            rng.integers(0, 3, EVENTS_N_RAND).astype(np.float32),
+            rng.integers(0, 3, events_n_rand).astype(np.float32),
         "events_neg_pol_cumsum":
-            -rng.integers(0, 3, EVENTS_N_RAND).astype(np.float32),
+            -rng.integers(0, 3, events_n_rand).astype(np.float32),
     }
 
     key = jax.random.PRNGKey(0)
@@ -135,9 +144,7 @@ def main():
         state, aux = one(state)
         float(aux["loss"])
 
-    import os
-
-    if os.environ.get("BENCH_DEBUG"):
+    if debug:
         for it in range(5):
             t0 = time.perf_counter()
             state, aux = one(state)
@@ -145,20 +152,26 @@ def main():
             print(f"step {it}: {time.perf_counter() - t0:.4f}s "
                   f"loss={loss:.5f}", flush=True)
 
-    # per-step host sync: block_until_ready does NOT synchronize on remote
-    # backends, and deep unsynced pipelining through the tunnel degrades
-    # badly; a float() costs ~ms against >1s steps
-    iters = 10
+    # host sync every `steps_in_flight` steps: block_until_ready does NOT
+    # synchronize on remote backends; with 1 step in flight a float() costs
+    # ~ms against >1s steps, with >1 the per-step sync RTT is hidden
     t0 = time.perf_counter()
+    pending = []
     for _ in range(iters):
         state, aux = one(state)
-        float(aux["loss"])
+        pending.append(aux["loss"])
+        if len(pending) >= steps_in_flight:
+            float(pending.pop(0))
+    for p in pending:
+        float(p)
     dt = (time.perf_counter() - t0) / iters
 
-    rays_per_sec = RAYS_PER_ITER / dt
+    rays_per_sec = rays_per_iter / dt
 
     # eval-render throughput: the test/video rendering path (chunked
-    # no-kernel render, ref protocol run_nerf.py:642-709)
+    # no-kernel render, ref protocol run_nerf.py:642-709), measured the way
+    # train/evaluate.py::render_poses actually runs it — chunks streamed
+    # with bounded in-flight dispatch, not a host sync per chunk
     from evdeblurnerf_tpu.train.evaluate import build_chunk_renderer
 
     chunk_fn = build_chunk_renderer(model)
@@ -168,25 +181,48 @@ def main():
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     rgb, _, _ = chunk_fn(variables, eval_rays)   # compile
-    float(rgb[0, 0])
+    np.asarray(rgb)
+    eval_iters = 2 * iters
     t0 = time.perf_counter()
-    for _ in range(iters):
-        rgb, _, _ = chunk_fn(variables, eval_rays)
-        float(rgb[0, 0])
-    eval_dt = (time.perf_counter() - t0) / iters
+    pending = []
+    for _ in range(eval_iters):
+        rgb, depth, _ = chunk_fn(variables, eval_rays)
+        pending.append((rgb, depth))
+        if len(pending) > 4:
+            r, d = pending.pop(0)
+            np.asarray(r), np.asarray(d)
+    for r, d in pending:
+        np.asarray(r), np.asarray(d)
+    eval_dt = (time.perf_counter() - t0) / eval_iters
     eval_rays_per_sec = eval_chunk / eval_dt
 
+    return {
+        "rays_per_iter": rays_per_iter,
+        "step_seconds": dt,
+        "rays_per_sec": rays_per_sec,
+        "eval_rays_per_sec": eval_rays_per_sec,
+    }
+
+
+def main():
+    res = run()
     print(json.dumps({
         "metric": "train_rays_per_sec_full_step",
-        "value": round(rays_per_sec, 1),
+        "value": round(res["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "vs_baseline": round(
+            res["rays_per_sec"] / A100_REFERENCE_RAYS_PER_SEC, 3),
         # the reference publishes no numbers; the denominator is a
         # documented estimate (see module docstring), not a measurement
         "baseline_kind": "estimate",
-        "eval_rays_per_sec": round(eval_rays_per_sec, 1),
+        "eval_rays_per_sec": round(res["eval_rays_per_sec"], 1),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("BENCH_DEBUG"):
+        run(debug=True)
+    else:
+        main()
