@@ -134,14 +134,44 @@ class LPIPSScorer:
     _warned = False
 
     @classmethod
+    def from_torch_cache(cls) -> Optional["LPIPSScorer"]:
+        """Probe the usual torch-hub cache locations for an ImageNet
+        AlexNet checkpoint (``alexnet-owt-*.pth``); if found, convert it
+        (with the reference's vendored lin heads) into the full bundle so
+        published-semantics LPIPS(alex) is restored automatically on any
+        machine that has ever downloaded torchvision's AlexNet."""
+        import glob
+
+        hub = os.environ.get(
+            "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache",
+                                       "torch"))
+        candidates = glob.glob(os.path.join(hub, "hub", "checkpoints",
+                                            "alexnet-owt-*.pth"))
+        lin_pth = os.path.join(os.path.dirname(__file__), "..", "..",
+                               "tests", "goldens", "lpips_alex_lin.pth")
+        ref_lin = "/root/reference/networks/lpips/weights/v0.1/alex.pth"
+        lin = lin_pth if os.path.exists(lin_pth) else ref_lin
+        if not candidates or not os.path.exists(lin):
+            return None
+        try:
+            convert_torch_weights(candidates[0], lin, _FULL_BUNDLE)
+            return cls.from_npz(_FULL_BUNDLE)
+        except Exception:
+            return None
+
+    @classmethod
     def from_default(cls) -> "LPIPSScorer":
         """Always-usable scorer: env bundle > vendored full bundle >
-        deterministic trunk + vendored LPIPS lin heads (loud, once)."""
+        torch-hub cache conversion > deterministic trunk + vendored LPIPS
+        lin heads (loud, once)."""
         scorer = cls.from_env()
         if scorer is not None:
             return scorer
         if os.path.exists(_FULL_BUNDLE):
             return cls.from_npz(_FULL_BUNDLE)
+        scorer = cls.from_torch_cache()
+        if scorer is not None:
+            return scorer
         weights = default_trunk()
         weights.update({k: v for k, v in np.load(_VENDORED_LIN).items()})
         if not cls._warned:
