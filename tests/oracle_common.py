@@ -50,12 +50,17 @@ VARIANTS = {
                     kernel_rbk_use_origin=True, kernel_use_awp=True),
     "dsk": dict(kernel_type="DSK", kernel_ptnum=3, kernel_spatial_embed=2),
     "pbe": dict(kernel_type="PBE", kernel_ptnum=3),
+    # vanilla-NeRF field family (ref networks/nerf.py) with the RBK kernel
+    "nerf_rbk": dict(kernel_type="RBK", kernel_ptnum=3,
+                     kernel_rbk_use_origin=True, mode="nerf",
+                     rgb_add_bias=True, netdepth=2, netwidth=16,
+                     netdepth_fine=2, netwidth_fine=16),
 }
 
 
 def make_args(overrides):
     """Flag set for one oracle variant — deterministic by construction."""
-    args = default_args(
+    base = dict(
         N_rand=N, N_samples=N_SAMPLES, N_importance=N_IMPORTANCE, chunk=4096,
         mode="c2f", kernel_img_embed=8, kernel_rbk_extra_feat_ch=0,
         kernel_start_iter=0, use_viewdirs=True, multires=4, multires_views=2,
@@ -66,15 +71,19 @@ def make_args(overrides):
         # docstring)
         kernel_awp_sam_emb_depth=2, kernel_awp_sam_emb_width=64,
         kernel_awp_mot_emb_depth=1, kernel_awp_mot_emb_width=32,
-        seed=0, **overrides)
-    return args
+        seed=0)
+    base.update(overrides)
+    return default_args(**base)
 
 
 def make_cfg(args):
     return RenderConfig(
-        mode="c2f", N_samples=N_SAMPLES, N_importance=N_IMPORTANCE,
+        mode=args.mode, N_samples=N_SAMPLES, N_importance=N_IMPORTANCE,
         use_viewdirs=True, multires=4, multires_views=2, ndc=True,
         near=0.0, far=1.0, H=H, W=W, focal=FOCAL, perturb=0.0,
+        rgb_add_bias=args.rgb_add_bias,
+        netdepth=args.netdepth, netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine, netwidth_fine=args.netwidth_fine,
         aabb=AABB, coarse_n_voxels=4096, fine_n_voxels=8192,
         coarse_app_n_comp=(4, 2, 2), fine_app_n_comp=(4, 2, 2),
         coarse_hidden_dim=8, coarse_hidden_dim_color=8,

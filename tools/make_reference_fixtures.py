@@ -190,19 +190,34 @@ class ArgsNS:
         self.__dict__.update(kw)
 
 
+def load_nerfmlp(tm, flat, stage):
+    base = ("params", "renderer", stage)
+    for i, lin in enumerate(tm.pts_linears):
+        load_linear(lin, flat, *base, f"pts_linear_{i}")
+    load_linear(tm.views_linears[0], flat, *base, "views_linear_0")
+    load_linear(tm.feature_linear, flat, *base, "feature_linear")
+    load_linear(tm.alpha_linear, flat, *base, "alpha_linear")
+    load_linear(tm.rgb_linear, flat, *base, "rgb_linear")
+
+
 def build_reference(name, flat):
     ov = oc.VARIANTS[name]
     kernel_type = ov["kernel_type"]
     use_awp = ov.get("kernel_use_awp", False)
 
     args = ArgsNS(
-        mode="c2f", use_viewdirs=True, multires=4, multires_views=2,
+        mode=ov.get("mode", "c2f"),
+        netdepth=ov.get("netdepth", 8), netwidth=ov.get("netwidth", 256),
+        netdepth_fine=ov.get("netdepth_fine", 8),
+        netwidth_fine=ov.get("netwidth_fine", 256),
+        use_viewdirs=True, multires=4, multires_views=2,
         N_importance=oc.N_IMPORTANCE, kernel_type=kernel_type,
         kernel_use_awp=use_awp,
         bounding_box=(torch.tensor(oc.AABB[0]), torch.tensor(oc.AABB[1])),
         coarse_num_layers=2, coarse_hidden_dim=8, kernel_feat_cnl=15,
         coarse_num_layers_color=3, coarse_hidden_dim_color=8,
-        rgb_add_bias=False, coarse_app_dim=8, coarse_app_n_comp=[4, 2, 2],
+        rgb_add_bias=ov.get("rgb_add_bias", False),
+        coarse_app_dim=8, coarse_app_n_comp=[4, 2, 2],
         coarse_n_voxels=4096, render_rmnearplane=0, coarse_app_actfn="none",
         fine_num_layers=2, fine_hidden_dim=8, fine_geo_feat_dim=8,
         fine_num_layers_color=3, fine_hidden_dim_color=8, fine_app_dim=8,
@@ -241,8 +256,12 @@ def build_reference(name, flat):
         load_awp(awpnet, flat)
 
     nerf = NeRFAll(args, kernelnet, awpnet)
-    load_voxnerf(nerf.mlp_coarse, flat, "mlp_coarse")
-    load_voxnerf(nerf.mlp_fine, flat, "mlp_fine")
+    if args.mode == "c2f":
+        load_voxnerf(nerf.mlp_coarse, flat, "mlp_coarse")
+        load_voxnerf(nerf.mlp_fine, flat, "mlp_fine")
+    else:
+        load_nerfmlp(nerf.mlp_coarse, flat, "mlp_coarse")
+        load_nerfmlp(nerf.mlp_fine, flat, "mlp_fine")
     return nerf
 
 
