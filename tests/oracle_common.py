@@ -258,3 +258,51 @@ def run_jax_pdf():
     out = sample_pdf(jax.random.PRNGKey(0), jnp.asarray(bins),
                      jnp.asarray(weights), 5, det=True)
     return {"det": np.asarray(out)}
+
+
+# ---------------------------------------------------------------------------
+# gradient-parity oracle: d loss / d params vs the torch reference
+# ---------------------------------------------------------------------------
+
+def make_grad_target():
+    rng = np.random.default_rng(31)
+    return rng.uniform(0, 1, (N, 3)).astype(np.float32)
+
+
+def run_jax_grads(name, variables):
+    """Gradients of mean((rgb-target)^2) + TV + align wrt every parameter.
+
+    The strongest training-dynamics parity evidence: identical weights,
+    identical deterministic forward, identical loss — the full backward
+    through kernel expansion, dual-stage render, AWP and the factored
+    grids must then match the reference's autograd parameter-by-parameter.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model(name)
+    rays, rays_info = make_inputs()
+    target = jnp.asarray(make_grad_target())
+    batch_stats = variables.get("batch_stats")
+
+    def loss_fn(params):
+        vs = {"params": params}
+        mutable = False
+        if batch_stats is not None:
+            vs["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(vs, jax.random.PRNGKey(0), rays, rays_info,
+                          force_naive=False, return_pts0_rgb=True,
+                          mutable=mutable)
+        if mutable:
+            out, _ = out
+        rgb, rgb1, other_loss, _ = out
+        loss = jnp.mean((rgb - target) ** 2)
+        for v in other_loss.values():
+            loss = loss + jnp.sum(v)
+        return loss
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    # key layout matches flatten(variables): leading ['params'] component
+    return {"['params']" + jax.tree_util.keystr(p): np.asarray(v)
+            for p, v in jax.tree_util.tree_leaves_with_path(grads)}

@@ -86,3 +86,28 @@ def test_sample_pdf_matches_reference():
     np.testing.assert_allclose(
         mine["det"], data["pdf/det"], rtol=RTOL, atol=ATOL,
         err_msg="sample_pdf(det) diverged from the PyTorch reference")
+
+
+@pytest.mark.parametrize("name", sorted(oc.VARIANTS))
+def test_gradients_match_reference(name):
+    """d(mse + TV + align)/d params vs the reference's autograd: the full
+    backward through kernel expansion, dual-stage render, AWP/MAM and the
+    factored grids, parameter by parameter (scale-aware: cancelling f32
+    sums differ in low-order bits)."""
+    data = _load(oc.oracle_path(name))
+    flat = {k[len("var/"):]: data[k] for k in data.files
+            if k.startswith("var/")}
+    ref = {k[len("grad/"):]: data[k] for k in data.files
+           if k.startswith("grad/")}
+    assert ref, "fixtures predate the gradient oracle; regenerate"
+
+    _, template = oc.init_variant(name)
+    variables = oc.restore_like(template, flat)
+    mine = oc.run_jax_grads(name, variables)
+
+    assert set(ref) == set(mine), sorted(set(ref) ^ set(mine))
+    for k in sorted(ref):
+        scale = max(float(np.max(np.abs(ref[k]))), 1e-6)
+        np.testing.assert_allclose(
+            mine[k], ref[k], atol=5e-4 * scale, rtol=5e-4,
+            err_msg=f"{name}: gradient {k} diverged from the reference")

@@ -106,19 +106,35 @@ class Flat:
 
 # ---------------------------------------------------------------------------
 # transplants (flax tree -> reference torch modules)
+#
+# every loader also registers the inverse transform torch-grad -> flax-grad
+# in GRAD_REG, so the gradient-parity oracle can read back d loss/d param in
+# flax layout after loss.backward()
 # ---------------------------------------------------------------------------
+
+GRAD_REG = {}
+
+
+def _reg(parts, param, inv):
+    GRAD_REG[kp(*parts)] = (param, inv)
+
 
 def load_linear(lin, flat, *parts):
     lin.weight.data = T(flat(*parts, "kernel")).t().contiguous()
+    _reg(parts + ("kernel",), lin.weight, lambda g: g.t())
     if lin.bias is not None:
         lin.bias.data = T(flat(*parts, "bias"))
+        _reg(parts + ("bias",), lin.bias, lambda g: g)
 
 
 def load_voxnerf(tm, flat, stage):
     base = ("params", "renderer", stage)
     for i in range(3):
         tm.app_plane[i].data = T(flat(*base, f"app_plane_{i}"))[None]
+        _reg(base + (f"app_plane_{i}",), tm.app_plane[i], lambda g: g[0])
         tm.app_line[i].data = T(flat(*base, f"app_line_{i}"))[None, ..., None]
+        _reg(base + (f"app_line_{i}",), tm.app_line[i],
+             lambda g: g[0, ..., 0])
     load_linear(tm.basis_mat, flat, *base, "basis_mat")
     for l, lin in enumerate(tm.sigma_net):
         load_linear(lin, flat, *base, f"sigma_net_{l}")
@@ -128,6 +144,7 @@ def load_voxnerf(tm, flat, stage):
 
 def load_view_embed(tm, flat):
     tm.img_embed.data = T(flat("params", "view_embed", "img_embed"))
+    _reg(("params", "view_embed", "img_embed"), tm.img_embed, lambda g: g)
 
 
 def load_rbk(tm, flat):
@@ -145,6 +162,7 @@ def load_dsk(tm, flat):
     load_view_embed(tm.img_embed, flat)
     base = ("params", "kernelnet")
     tm.pattern_pos.data = T(flat(*base, "pattern_pos"))
+    _reg(base + ("pattern_pos",), tm.pattern_pos, lambda g: g)
     # reference Sequential puts Linears at even indices (blurmodel.py:96-107)
     linear_idx = [i for i, m in enumerate(tm.linears)
                   if isinstance(m, torch.nn.Linear)]
@@ -157,6 +175,7 @@ def load_dsk(tm, flat):
 def load_conv1d(conv, flat, *parts):
     # flax channels-last Dense kernel [in, out] -> Conv1d weight [out, in, 1]
     conv.weight.data = T(flat(*parts, "kernel")).t()[..., None].contiguous()
+    _reg(parts + ("kernel",), conv.weight, lambda g: g[..., 0].t())
 
 
 def load_awp(tm, flat):
@@ -173,9 +192,13 @@ def load_awp(tm, flat):
         load_conv1d(getattr(corr, name), flat, *cbase, name)
     corr.line_conv_att.weight.data = \
         T(flat(*cbase, "line_conv_att", "kernel")).t()[..., None, None].contiguous()
+    _reg(cbase + ("line_conv_att", "kernel"), corr.line_conv_att.weight,
+         lambda g: g[:, :, 0, 0].t())
     load_conv1d(corr.convd[0], flat, *cbase, "convd")
     corr.convd[1].weight.data = T(flat(*cbase, "convd_bn", "scale"))
+    _reg(cbase + ("convd_bn", "scale"), corr.convd[1].weight, lambda g: g)
     corr.convd[1].bias.data = T(flat(*cbase, "convd_bn", "bias"))
+    _reg(cbase + ("convd_bn", "bias"), corr.convd[1].bias, lambda g: g)
     # running stats stay at torch defaults (mean 0 / var 1) == flax init;
     # train-mode BatchNorm normalizes by BATCH stats so outputs don't
     # depend on them anyway
@@ -309,6 +332,58 @@ def run_reference(name, flat):
     return {k: np.asarray(v.detach()) for k, v in rec.items()}
 
 
+def run_reference_grads(name, flat):
+    """d(mean((rgb-target)^2) + TV + align)/d params through the reference's
+    autograd, read back in flax layout via GRAD_REG."""
+    GRAD_REG.clear()
+    nerf = build_reference(name, flat)
+    rays, rays_info = oc.make_inputs()
+    rays_t = T(rays)
+    ri = {
+        "rays_x": T(rays_info["rays_x"])[:, None],
+        "rays_y": T(rays_info["rays_y"])[:, None],
+        "images_idx": torch.from_numpy(
+            rays_info["images_idx"].astype(np.int64))[:, None],
+        "poses": T(rays_info["poses"]),
+    }
+    K_t = torch.tensor(oc.K, dtype=torch.float32)
+    target = T(oc.make_grad_target())
+
+    nerf.train()
+    rgb, rgb1, other_loss, _ = nerf(
+        oc.H, oc.W, K_t, chunk=1 << 20, rays=rays_t, rays_info=ri,
+        force_naive=False, return_pts0_rgb=True,
+        N_samples=oc.N_SAMPLES, N_importance=oc.N_IMPORTANCE,
+        perturb=0.0, raw_noise_std=0.0, ndc=True, near=0.0, far=1.0,
+        use_viewdirs=True, retraw=False)
+    loss = ((rgb - target) ** 2).mean()
+    for v in other_loss.values():
+        loss = loss + v.sum()
+    loss.backward()
+
+    grads = {}
+    for key, (p, inv) in GRAD_REG.items():
+        if p.grad is None:
+            grads[key] = np.zeros_like(np.asarray(inv(p.data)))
+        else:
+            grads[key] = np.asarray(inv(p.grad).detach())
+    return grads
+
+
+def compare_grads(name, ref, mine):
+    """Scale-aware comparison (cancelling f32 sums differ in low bits)."""
+    worst = 0.0
+    assert set(ref) == set(mine), (
+        sorted(set(ref) ^ set(mine)))
+    for k in sorted(ref):
+        scale = max(float(np.max(np.abs(ref[k]))), 1e-6)
+        d = float(np.max(np.abs(ref[k] - mine[k]))) / scale
+        worst = max(worst, d)
+        status = "OK" if d < 5e-4 else "MISMATCH"
+        print(f"  grad[{name}]{k}: rel|d|={d:.3e} {status}")
+    return worst
+
+
 # ---------------------------------------------------------------------------
 # component oracles
 # ---------------------------------------------------------------------------
@@ -406,8 +481,14 @@ def main():
         worst = compare(name, ref, mine)
         if worst > 1e-3:
             failures.append((name, worst))
+        ref_grads = run_reference_grads(name, Flat(flat_np))
+        mine_grads = oc.run_jax_grads(name, variables)
+        gworst = compare_grads(name, ref_grads, mine_grads)
+        if gworst > 5e-3:
+            failures.append((name + "/grads", gworst))
         payload = {f"var/{k}": v for k, v in flat_np.items()}
         payload.update({f"out/{k}": v for k, v in ref.items()})
+        payload.update({f"grad/{k}": v for k, v in ref_grads.items()})
         np.savez(oc.oracle_path(name), **payload)
         print(f"wrote {oc.oracle_path(name)}")
 

@@ -30,6 +30,9 @@ def main():
     iters = 5 if args.quick else 10
     sweeps = [
         ("base_1024_acc2", dict()),
+        ("acc1", dict(grad_accum=1)),
+        ("acc1_line_matmul", dict(
+            grad_accum=1, arg_overrides={"triplane_line_matmul": True})),
         ("flight2", dict(steps_in_flight=2)),
         ("line_matmul", dict(arg_overrides={"triplane_line_matmul": True})),
         ("line_matmul_flight2", dict(
