@@ -44,6 +44,7 @@ def build_step():
         tone_mapping_events_add_bii="pos-neg",
         lrate=5e-3, lrate_decay=10, seed=0,
         remat=False, grad_accum=int(os.environ.get('GRAD_ACCUM', '2')),
+        triplane_line_matmul=bool(os.environ.get('LINE_MATMUL')),
     )
     args.events_threshold_pos = args.events_threshold
     args.events_threshold_neg = args.events_threshold
@@ -57,7 +58,9 @@ def build_step():
         coarse_hidden_dim=64, coarse_hidden_dim_color=64,
         fine_hidden_dim=256, fine_hidden_dim_color=256,
         fine_geo_feat_dim=128, coarse_app_dim=32, fine_app_dim=32,
-        kernel_feat_cnl=15, kernel_type="RBK", use_awp=True)
+        kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
+        triplane_bf16=args.triplane_bf16,
+        triplane_line_matmul=args.triplane_line_matmul)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)
