@@ -36,7 +36,7 @@ EVENTS_N_RAND = 4096
 
 
 def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
-        steps_in_flight=1, iters=10, arg_overrides=None, debug=False):
+        steps_in_flight=2, iters=10, arg_overrides=None, debug=False):
     """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
@@ -153,8 +153,10 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
                   f"loss={loss:.5f}", flush=True)
 
     # host sync every `steps_in_flight` steps: block_until_ready does NOT
-    # synchronize on remote backends; with 1 step in flight a float() costs
-    # ~ms against >1s steps, with >1 the per-step sync RTT is hidden
+    # synchronize on remote backends; the default of 2 in flight mirrors
+    # (conservatively) the production loop, which syncs only at the
+    # i_print/i_tensorboard cadence (>=100 steps) — a sync per step would
+    # charge the tunnel RTT to every step, which no real run pays
     t0 = time.perf_counter()
     pending = []
     for _ in range(iters):
