@@ -31,13 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sync(out):
+    # block_until_ready does NOT synchronize on remote backends (bench.py);
+    # force a host transfer of one element instead
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def timed(fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # device executes in order: syncing the last output waits for all
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -86,7 +94,8 @@ def xla_baselines(N, K, W, rng):
 
 def _dma_kernel(offs_ref, rows_hbm, out_hbm, sem, *, rows_per_block, group):
     """Move `rows_per_block` rows (in groups of `group` contiguous rows) from
-    rows_hbm to dynamic offsets of out_hbm. 8 DMAs in flight round-robin."""
+    rows_hbm to dynamic offsets of out_hbm. 8 DMAs in flight round-robin.
+    ``offs_ref``: this block's destination offsets (SMEM block slice)."""
     blk = pl.program_id(0)
     base = blk * rows_per_block
     n_moves = rows_per_block // group
@@ -94,7 +103,7 @@ def _dma_kernel(offs_ref, rows_hbm, out_hbm, sem, *, rows_per_block, group):
 
     def move(i, _):
         src = base + i * group
-        dst = offs_ref[blk * n_moves + i]
+        dst = offs_ref[i]
         dma = pltpu.make_async_copy(
             rows_hbm.at[pl.ds(src, group)],
             out_hbm.at[pl.ds(dst, group)],
@@ -137,17 +146,19 @@ def pallas_row_dma(N, K, W, group, rng, interpret=False):
         jnp.int32)
     rows = jnp.asarray(rng.normal(size=(N, W)), jnp.float32)
 
+    n_moves_block = rows_per_block // group
     kernel = functools.partial(_dma_kernel, rows_per_block=rows_per_block,
                                group=group)
     fn = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(N // rows_per_block,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
-        ),
+        grid=(N // rows_per_block,),
+        in_specs=[
+            pl.BlockSpec((n_moves_block,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((8,))],
         out_shape=jax.ShapeDtypeStruct((K, W), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -176,7 +187,8 @@ def main():
           f"backend={jax.default_backend()}")
     for W in (64, 256):
         xla_baselines(N, K, W, rng)
-    for W in (64, 256):
+    # Mosaic HBM slices must be 128-lane aligned; probe at 128/256 widths
+    for W in (128, 256):
         for group in (1, 8, 64, 512):
             pallas_row_dma(N, K, W, group, rng, interpret=args.interpret)
 
