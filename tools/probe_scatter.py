@@ -140,20 +140,27 @@ def pallas_row_dma(N, K, W, group, rng, interpret=False):
     rows_per_block = 4096
     assert N % rows_per_block == 0
     n_moves_total = N // group
-    # group-aligned destination offsets (last-write-wins; issue-rate probe)
-    offs = jnp.asarray(
-        rng.integers(0, (K - group) // group, n_moves_total) * group,
-        jnp.int32)
+    n_blocks = N // rows_per_block
+    n_moves_block = rows_per_block // group
+    # group-aligned destination offsets (last-write-wins; issue-rate probe),
+    # padded per block to a 1024-aligned 1-D SMEM slice (Mosaic requires
+    # s32 1-D blocks aligned to its T(1024) layout)
+    pad = -(-n_moves_block // 1024) * 1024
+    offs_np = (np.asarray(
+        rng.integers(0, (K - group) // group, n_moves_total),
+        np.int32) * group).reshape(n_blocks, n_moves_block)
+    offs = jnp.asarray(np.pad(
+        offs_np, ((0, 0), (0, pad - n_moves_block))).reshape(-1))
+
     rows = jnp.asarray(rng.normal(size=(N, W)), jnp.float32)
 
-    n_moves_block = rows_per_block // group
     kernel = functools.partial(_dma_kernel, rows_per_block=rows_per_block,
                                group=group)
     fn = pl.pallas_call(
         kernel,
-        grid=(N // rows_per_block,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((n_moves_block,), lambda i: (i,),
+            pl.BlockSpec((pad,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -176,6 +183,7 @@ def main():
     ap.add_argument("--interpret", action="store_true")
     ap.add_argument("--n", type=int, default=2359296)   # fine-pass row count
     ap.add_argument("--k", type=int, default=262144)    # fine 512^2 plane
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -185,12 +193,14 @@ def main():
 
     print(f"probe_scatter: N={N} rows, K={K} table rows, "
           f"backend={jax.default_backend()}")
-    for W in (64, 256):
-        xla_baselines(N, K, W, rng)
-    # Mosaic HBM slices must be 128-lane aligned; probe at 128/256 widths
-    for W in (128, 256):
-        for group in (1, 8, 64, 512):
-            pallas_row_dma(N, K, W, group, rng, interpret=args.interpret)
+    if not args.skip_xla:
+        for W in (64, 256):
+            xla_baselines(N, K, W, rng)
+    # Mosaic HBM slices must be 128-lane aligned; probe at W=128 (the
+    # group-size curve is the signal; remote kernel compiles are ~10 min
+    # each, so keep the set tight)
+    for group in (1, 8, 64, 512):
+        pallas_row_dma(N, K, 128, group, rng, interpret=args.interpret)
 
 
 if __name__ == "__main__":
