@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--h", type=int, default=96)
     ap.add_argument("--w", type=int, default=128)
     ap.add_argument("--n_imgs", type=int, default=6)
+    ap.add_argument("--cdavis", action="store_true",
+                    help="color-DAVIS path: rectified float event coords + "
+                         "ev_map, Bayer one-hot color EGM, color-pos-neg "
+                         "BII CRF features (ref cdavis configs)")
     args, extra = ap.parse_known_args()
 
     if not os.path.exists(os.path.join(args.scene, "events.h5")):
@@ -34,7 +38,8 @@ def main():
         from synthetic import make_synthetic_scene
         make_synthetic_scene(args.scene, n_imgs=args.n_imgs, h=args.h,
                              w=args.w, focal=float(args.w),
-                             poses_per_image=4, seed=0)
+                             poses_per_image=4, seed=0,
+                             rectified_coords=args.cdavis)
         print("scene written to", args.scene, flush=True)
 
     from evdeblurnerf_tpu.config import parse_args
@@ -62,7 +67,15 @@ def main():
         "--tone_mapping_type", "gamma",
         "--i_testset", "500", "--i_print", "100", "--i_weights", "100000",
         "--lrate_decay", "10",
-    ] + extra
+    ]
+    if args.cdavis:
+        cli += [
+            "--event_egm_use_colorevents",
+            "--event_egm_use_color_weights", "0.4 0.2 0.4",
+            "--event_egm_color_weights_start_iter", "300",
+            "--tone_mapping_events_add_bii", "color-pos-neg",
+        ]
+    cli += extra
     train(parse_args(cli))
 
 
