@@ -207,7 +207,9 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
 
 
 def main():
-    res = run()
+    import os
+
+    res = run(debug=bool(os.environ.get("BENCH_DEBUG")))
     print(json.dumps({
         "metric": "train_rays_per_sec_full_step",
         "value": round(res["rays_per_sec"], 1),
@@ -222,9 +224,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-
-    if os.environ.get("BENCH_DEBUG"):
-        run(debug=True)
-    else:
-        main()
+    main()

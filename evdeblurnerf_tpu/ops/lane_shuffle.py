@@ -44,20 +44,34 @@ LANES = 128
 _BLOCK_ROWS = 1024
 
 
+def _target_platform() -> str:
+    """Platform the traced program will actually run on.
+
+    ``jax.default_backend()`` reports the process-global default, which
+    stays 'tpu' when the multichip dryrun pins ``jax_default_device`` to a
+    virtual CPU device in the same process — keying off the pinned device
+    (when set) is what makes the interpret decision match the real target.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
 def use_pallas() -> bool:
     """Lane kernels run on TPU; CPU (tests, multichip dryrun) can opt into
     interpret mode via ``EVDN_LANE_KERNELS_INTERPRET=1`` (exact same kernel
     code path, Pallas interpreter backend) or falls back to jnp."""
     if os.environ.get("EVDN_DISABLE_LANE_KERNELS"):
         return False
-    if jax.default_backend() == "tpu":
+    if _target_platform() == "tpu":
         return True
     return bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET"))
 
 
 def _interpret_default() -> bool:
-    """Interpret-mode Pallas for non-TPU backends that opted in."""
-    return (jax.default_backend() != "tpu"
+    """Interpret-mode Pallas for non-TPU targets that opted in."""
+    return (_target_platform() != "tpu"
             and bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET")))
 
 
@@ -95,9 +109,12 @@ def _shmap_rows(fn, n_in, n_out, rows):
 
     def wrapped(*args):
         global _IN_SHARD_MAP
-        inner = _shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
-                           out_specs=(spec,) * n_out if n_out > 1 else spec,
-                           check_vma=False)
+        kwargs = dict(mesh=mesh, in_specs=(spec,) * n_in,
+                      out_specs=(spec,) * n_out if n_out > 1 else spec)
+        try:
+            inner = _shard_map(fn, check_vma=False, **kwargs)
+        except TypeError:  # older jax: the kwarg is named check_rep
+            inner = _shard_map(fn, check_rep=False, **kwargs)
         _IN_SHARD_MAP = True
         try:
             return inner(*args)

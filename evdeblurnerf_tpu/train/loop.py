@@ -78,11 +78,18 @@ def build_model(args, llff):
     return cfg, kcfg, model, crf
 
 
-def _round_to_devices(n: int, n_dev: int, name: str) -> int:
-    if n % n_dev:
-        new = max(n_dev, (n // n_dev) * n_dev)
+def _round_to_devices(n: int, n_dev: int, name: str,
+                      grad_accum: int = 1) -> int:
+    """Round the batch down to a multiple of BOTH the mesh size and
+    grad_accum — rounding to the mesh alone could silently break the
+    N_rand %% grad_accum divisibility config._validate guaranteed."""
+    import math
+
+    quantum = math.lcm(n_dev, max(grad_accum, 1))
+    if n % quantum:
+        new = max(quantum, (n // quantum) * quantum)
         print(f"[parallel] rounding {name} {n} -> {new} "
-              f"(multiple of {n_dev} devices)")
+              f"(multiple of {n_dev} devices x grad_accum={grad_accum})")
         return new
     return n
 
@@ -179,9 +186,11 @@ def train(args, max_iters: Optional[int] = None):
     mesh = create_mesh()
     lane_shuffle.set_mesh(mesh if mesh.size > 1 else None)
     n_dev = mesh.size
-    args.N_rand = _round_to_devices(args.N_rand, n_dev, "N_rand")
+    ga = args.grad_accum or 1
+    args.N_rand = _round_to_devices(args.N_rand, n_dev, "N_rand",
+                                    grad_accum=ga)
     args.events_N_rand = _round_to_devices(args.events_N_rand, n_dev,
-                                           "events_N_rand")
+                                           "events_N_rand", grad_accum=ga)
 
     # model/optimizer init from one representative batch
     sampler = endless(_image_sampler_factory(args, llff))

@@ -28,16 +28,18 @@ def main():
     import bench
 
     iters = 5 if args.quick else 10
+    # line_matmul and steps_in_flight=2 are the DEFAULTS now (landed round
+    # 3); the ablation entries explicitly turn them OFF so the contrasts
+    # stay measurable
     sweeps = [
-        ("base_1024_acc2", dict()),
+        ("default", dict()),
+        ("no_line_matmul", dict(
+            arg_overrides={"triplane_line_matmul": False})),
+        ("flight1", dict(steps_in_flight=1)),
+        ("no_line_matmul_flight1", dict(
+            steps_in_flight=1,
+            arg_overrides={"triplane_line_matmul": False})),
         ("acc1", dict(grad_accum=1)),
-        ("acc1_line_matmul", dict(
-            grad_accum=1, arg_overrides={"triplane_line_matmul": True})),
-        ("flight2", dict(steps_in_flight=2)),
-        ("line_matmul", dict(arg_overrides={"triplane_line_matmul": True})),
-        ("line_matmul_flight2", dict(
-            steps_in_flight=2,
-            arg_overrides={"triplane_line_matmul": True})),
         ("batch_2048_acc4", dict(n_rand=2048, events_n_rand=8192,
                                  grad_accum=4)),
         ("batch_4096_acc8", dict(n_rand=4096, events_n_rand=16384,

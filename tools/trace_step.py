@@ -44,7 +44,8 @@ def build_step():
         tone_mapping_events_add_bii="pos-neg",
         lrate=5e-3, lrate_decay=10, seed=0,
         remat=False, grad_accum=int(os.environ.get('GRAD_ACCUM', '2')),
-        triplane_line_matmul=bool(os.environ.get('LINE_MATMUL')),
+        triplane_line_matmul=os.environ.get(
+            'LINE_MATMUL', '1') not in ('0', 'false', 'False', ''),
     )
     args.events_threshold_pos = args.events_threshold
     args.events_threshold_neg = args.events_threshold
