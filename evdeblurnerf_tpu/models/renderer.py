@@ -297,7 +297,7 @@ class Renderer(nn.Module):
         ret = {}
 
         if cfg.mode == "c2f":
-            ft_coarse = self.mlp_coarse.sample(pts)
+            ft_coarse = self.mlp_coarse.sample(pts, is_train)
             rgb_map, depth_map, acc_map, weights, feature = self.mlp_coarse(
                 pts, viewdirs, ft_coarse, z_vals, rays_d, noise_c, is_train)
 
@@ -331,8 +331,9 @@ class Renderer(nn.Module):
                            + rays_d[..., None, :] * z_cat[..., :, None])
                 ft = jnp.concatenate(
                     [jnp.concatenate([ft_coarse,
-                                      self.mlp_coarse.sample(pts_new)], 1),
-                     self.mlp_fine.sample(pts_cat)], -1)
+                                      self.mlp_coarse.sample(pts_new,
+                                                             is_train)], 1),
+                     self.mlp_fine.sample(pts_cat, is_train)], -1)
                 noise_f = self._noise(k_noise_f, (R, S_all - 1), is_train)
                 rgb_map, depth_map, acc_map, weights, feature = self.mlp_fine(
                     pts_cat, viewdirs, ft, z_all, rays_d, noise_f, is_train,
@@ -408,7 +409,7 @@ class Renderer(nn.Module):
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
         noise = self._noise(k_noise, (R, cfg.N_samples - 1), is_train)
         if cfg.mode == "c2f":
-            ft = self.mlp_coarse.sample(pts)
+            ft = self.mlp_coarse.sample(pts, is_train)
             rgb, _, _, _, feat = self.mlp_coarse(
                 pts, viewdirs, ft, z_vals, rays_d, noise, is_train)
         else:

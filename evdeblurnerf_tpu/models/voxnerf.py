@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -101,14 +103,17 @@ class VoxelNeRF(nn.Module):
         inv_size = 2.0 / (jnp.asarray(self.aabb[1]) - aabb0)
         return (pts - aabb0) * inv_size - 1.0
 
-    def sample(self, pts):
+    def sample(self, pts, is_train=True):
         """World pts [..., 3] -> appearance features [..., app_dim]
         (ref: voxnerf.py:132-151, 203-208).
 
         The packed path gathers one neighbor-packed row per plane/line
         instead of 4+2 (see ops/triplane.py); packing is a pure function of
         the params so XLA CSE computes it once per step across all sample()
-        calls."""
+        calls. Eval (``is_train=False`` with bf16 tables) keeps the whole
+        interpolation chain in bf16 — the values are bf16-rounded by the
+        gather either way, and the f32 converts/copies of the gathered
+        rows were ~12% of the eval chunk (trace_eval.py)."""
         shape = pts.shape[:-1]
         xyz = self.normalize_coords(pts.reshape(-1, 3))
         # NOTE: routing this through the fused Pallas sampling kernels
@@ -120,10 +125,22 @@ class VoxelNeRF(nn.Module):
         # The jnp path below is the fast path; the kernels remain as a
         # tested, documented experiment.
         if self.packed_sampling:
-            pp, pl_ = triplane.pack_grids(self.app_plane, self.app_line)
+            # EVDN_EVAL_F32_INTERP=1 restores f32 interpolation arithmetic
+            # at eval (A/B escape for quality validation)
+            compute_bf16 = (self.table_bf16 and not is_train
+                            and not os.environ.get("EVDN_EVAL_F32_INTERP"))
+            planes, lines = self.app_plane, self.app_line
+            if compute_bf16:
+                # cast BEFORE packing: halves the packed-table bytes the
+                # eval program materializes (no f32 packed + bf16 view
+                # pair), which keeps the small tables VMEM-promotable
+                planes = [p.astype(jnp.bfloat16) for p in planes]
+                lines = [l.astype(jnp.bfloat16) for l in lines]
+            pp, pl_ = triplane.pack_grids(planes, lines)
             feats = triplane.triplane_features_packed(
                 pp, pl_, xyz, table_bf16=self.table_bf16,
-                line_matmul=self.line_matmul)
+                line_matmul=self.line_matmul,
+                compute_bf16=compute_bf16)
         else:
             feats = triplane.triplane_features(self.app_plane, self.app_line,
                                                xyz)

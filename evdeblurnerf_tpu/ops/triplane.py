@@ -143,10 +143,17 @@ def _take_rows_bf16_bwd(res, g):
 _take_rows_bf16.defvjp(_take_rows_bf16_fwd, _take_rows_bf16_bwd)
 
 
-def _take_rows(table, idx, bf16=False):
+def _take_rows(table, idx, bf16=False, out_bf16=False):
     # indices are clipped in _axis_setup, so the gather can skip jnp.take's
     # default out-of-bounds fill — its guard is a [N, 4C]-wide select_n
     # measured at ~31 ms/step (zeros-padding validity lives in the weights)
+    if out_bf16:
+        # eval-only: rows stay bf16 so the interpolation FMAs run at
+        # native bf16 width — the [N, 4C] f32 convert + layout copy of the
+        # gathered rows alone cost ~8 ms per eval chunk (trace_eval.py).
+        # No custom_vjp: this path is never differentiated.
+        return table.astype(jnp.bfloat16).at[idx].get(
+            mode="promise_in_bounds")
     if bf16:
         return _take_rows_bf16(table, idx)
     return table.at[idx].get(mode="promise_in_bounds")
@@ -216,14 +223,19 @@ def _slot_weights(f, size):
     return b, s0, s1
 
 
-def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False):
+def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False,
+                          compute_bf16=False):
     """Bilinear sample from a neighbor-packed plane: one gather per point.
 
     packed: [H*W, 4C]; x, y: [N] in [-1, 1]. Same weights/validity as
     :func:`grid_sample_2d`; the slot-weight factoring reorders the f32
     accumulation (agreement to ~1e-6 relative). With ``table_bf16`` the
     gathered rows are bf16-rounded (backward stays exact f32, see
-    _take_rows_bf16).
+    _take_rows_bf16). ``compute_bf16`` (eval only, not differentiable)
+    additionally runs the tent FMAs in bf16 — the values were already
+    bf16-rounded by the gather, so this only adds ~3 more bf16 roundings
+    to the 4-term sum while dropping the [N, 4C] f32 convert + layout
+    copy and halving the FMA width.
     """
     C4 = packed.shape[-1]
     C = C4 // 4
@@ -232,11 +244,13 @@ def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False):
     bx, sx0, sx1 = _slot_weights(fx, W)
     by, sy0, sy1 = _slot_weights(fy, H)
 
-    rows = _take_rows(packed, by * W + bx, bf16=table_bf16)   # [N, 4C]
-    return (rows[:, :C] * (sy0 * sx0)[:, None]
-            + rows[:, C:2 * C] * (sy0 * sx1)[:, None]
-            + rows[:, 2 * C:3 * C] * (sy1 * sx0)[:, None]
-            + rows[:, 3 * C:] * (sy1 * sx1)[:, None])
+    rows = _take_rows(packed, by * W + bx, bf16=table_bf16,
+                      out_bf16=compute_bf16)                  # [N, 4C]
+    dt = rows.dtype if compute_bf16 else jnp.float32
+    return (rows[:, :C] * (sy0 * sx0).astype(dt)[:, None]
+            + rows[:, C:2 * C] * (sy0 * sx1).astype(dt)[:, None]
+            + rows[:, 2 * C:3 * C] * (sy1 * sx0).astype(dt)[:, None]
+            + rows[:, 3 * C:] * (sy1 * sx1).astype(dt)[:, None])
 
 
 def _line_rows_matmul(packed, b, table_bf16):
@@ -269,7 +283,8 @@ def _line_rows_matmul(packed, b, table_bf16):
         take, policy=jax.checkpoint_policies.nothing_saveable)(packed, b)
 
 
-def grid_sample_1d_packed(packed, D, y, table_bf16=False, line_matmul=False):
+def grid_sample_1d_packed(packed, D, y, table_bf16=False, line_matmul=False,
+                          compute_bf16=False):
     """Linear sample from a neighbor-packed line: one gather per point.
 
     packed: [D, 2C]; y: [N] in [-1, 1]. Same weights as
@@ -287,9 +302,14 @@ def grid_sample_1d_packed(packed, D, y, table_bf16=False, line_matmul=False):
     b, s0, s1 = _slot_weights(fy, D)
     if line_matmul:
         rows = _line_rows_matmul(packed, b, table_bf16)   # [N, 2C]
+        if compute_bf16:
+            rows = rows.astype(jnp.bfloat16)
     else:
-        rows = _take_rows(packed, b, bf16=table_bf16)     # [N, 2C]
-    return rows[:, :C] * s0[:, None] + rows[:, C:] * s1[:, None]
+        rows = _take_rows(packed, b, bf16=table_bf16,
+                          out_bf16=compute_bf16)          # [N, 2C]
+    dt = rows.dtype if compute_bf16 else jnp.float32
+    return (rows[:, :C] * s0.astype(dt)[:, None]
+            + rows[:, C:] * s1.astype(dt)[:, None])
 
 
 def pack_grids(planes, lines):
@@ -301,19 +321,27 @@ def pack_grids(planes, lines):
 
 
 def triplane_features_packed(packed_planes, packed_lines, xyz,
-                             table_bf16=False, line_matmul=False):
-    """Packed-path equivalent of :func:`triplane_features`."""
+                             table_bf16=False, line_matmul=False,
+                             compute_bf16=False):
+    """Packed-path equivalent of :func:`triplane_features`.
+
+    ``compute_bf16`` keeps the whole interpolation chain (gathered rows,
+    tent FMAs, plane*line product, concat) in bf16 — eval-only fast path,
+    see :func:`grid_sample_2d_packed`.
+    """
     feats = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         packed, H, W = packed_planes[i]
         plane_feat = grid_sample_2d_packed(packed, H, W,
                                            xyz[:, m0], xyz[:, m1],
-                                           table_bf16=table_bf16)
+                                           table_bf16=table_bf16,
+                                           compute_bf16=compute_bf16)
         packed_l, D = packed_lines[i]
         line_feat = grid_sample_1d_packed(packed_l, D, xyz[:, VEC_MODE[i]],
                                           table_bf16=table_bf16,
-                                          line_matmul=line_matmul)
+                                          line_matmul=line_matmul,
+                                          compute_bf16=compute_bf16)
         feats.append(plane_feat * line_feat)
     return jnp.concatenate(feats, axis=-1)
 

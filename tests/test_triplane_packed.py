@@ -176,3 +176,36 @@ def test_line_matmul_matches_gather():
     d16_got = jax.grad(loss)(packed, y, True, True)
     np.testing.assert_allclose(np.asarray(d16_got), np.asarray(d16_ref),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.fast
+def test_compute_bf16_matches_bf16_tables(grids):
+    """Eval-only bf16 interpolation arithmetic: same tent weights and
+    bf16-rounded table values as the table_bf16 f32-arithmetic path, so
+    outputs agree to a few bf16 ulps (the extra roundings of the 4-term
+    FMA). Exercised by render_chunk when table_bf16 and not is_train."""
+    planes, lines = grids
+    xyz = coords()
+    pp, pl_ = triplane.pack_grids(planes, lines)
+    ref = triplane.triplane_features_packed(pp, pl_, xyz, table_bf16=True)
+    for line_matmul in (False, True):
+        got = triplane.triplane_features_packed(
+            pp, pl_, xyz, table_bf16=True, line_matmul=line_matmul,
+            compute_bf16=True)
+        assert got.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref),
+            atol=0.02 * scale,
+            err_msg=f"compute_bf16 diverged (line_matmul={line_matmul})")
+
+    # pre-cast tables (what voxnerf.sample does at eval) must agree too
+    pp16, pl16 = triplane.pack_grids(
+        [p.astype(jnp.bfloat16) for p in planes],
+        [l.astype(jnp.bfloat16) for l in lines])
+    got = triplane.triplane_features_packed(pp16, pl16, xyz,
+                                            table_bf16=True,
+                                            compute_bf16=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               atol=0.02 * scale)
