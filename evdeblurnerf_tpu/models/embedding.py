@@ -23,15 +23,25 @@ def positional_encoding_dim(multires: int, input_dim: int = 3,
 
 
 def positional_encoding(x, multires: int, include_input: bool = True):
-    """[..., D] -> [..., D*(1+2*multires)] with per-band [sin, cos] order."""
+    """[..., D] -> [..., D*(1+2*multires)] with per-band [sin, cos] order.
+
+    Computed as ONE stacked sin + ONE cos over [..., m, D] and an
+    order-preserving reshape, instead of 2*m narrow per-band ops: on TPU
+    each [N, 3] band tile-pads to the (sublane, lane) grid and the 2m+1-way
+    concatenate reads them all back — measured ~10 ms/eval-chunk of sine
+    fusions + concat at the paper scale (tools/trace_eval.py). Values and
+    output order are bit-identical to the per-band form.
+    """
     if multires <= 0:
         return x
-    freqs = 2.0 ** np.arange(multires, dtype=np.float32)
-    outputs = [x] if include_input else []
-    for freq in freqs:
-        outputs.append(jnp.sin(x * freq))
-        outputs.append(jnp.cos(x * freq))
-    return jnp.concatenate(outputs, axis=-1)
+    D = x.shape[-1]
+    freqs = jnp.asarray(2.0 ** np.arange(multires, dtype=np.float32))
+    scaled = x[..., None, :] * freqs[:, None]          # [..., m, D]
+    sc = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-2)
+    sc = sc.reshape(*x.shape[:-1], 2 * multires * D)   # [..., (sin_b, cos_b)*]
+    if not include_input:
+        return sc
+    return jnp.concatenate([x, sc], axis=-1)
 
 
 class ViewEmbedding(nn.Module):
