@@ -177,7 +177,11 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
     from evdeblurnerf_tpu.train.evaluate import build_chunk_renderer
 
     chunk_fn = build_chunk_renderer(model)
-    eval_chunk = 16384
+    # 32768 is the measured-optimal chunk on v5e: big enough to amortize the
+    # ~13 ms/program fixed cost AND (unlike 16384) XLA keeps the coarse
+    # tables VMEM-promoted (the 16k schedule spills them, +11 ms/chunk);
+    # 65536 is flat (138.4k vs 137.2k rays/s) with more HBM pressure
+    eval_chunk = 32768
     eval_rays = jax.device_put(make_rays(eval_chunk, 3))
     variables = {"params": state.params["nerf"]}
     if state.batch_stats:

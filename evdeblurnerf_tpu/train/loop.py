@@ -110,10 +110,17 @@ def _image_sampler_factory(args, llff):
 def run_test_renders(args, llff, model, crf, variables, crf_params,
                      chunk_fn, mesh, step, logger, expdir,
                      skip_learn_crf: bool):
-    """Held-out view eval (ref: run_nerf.py:642-709)."""
+    """Held-out view eval (ref: run_nerf.py:642-709).
+
+    Renders at the full ``--chunk`` (default 32768): the reference halves
+    the chunk at test time (ref: run_nerf.py:658, a CUDA memory heuristic);
+    chunking is value-invisible, and on v5e the full chunk is measured
+    faster (coarse tables stay VMEM-promoted, fixed per-program cost
+    amortized — see PERF_NOTES.md round 3).
+    """
     rgbs, depths = render_poses(variables, chunk_fn, llff.test_poses,
                                 llff.h, llff.w, llff.K,
-                                chunk=args.chunk // 2, mesh=mesh)
+                                chunk=args.chunk, mesh=mesh)
     rgbs = apply_crf_host(crf, crf_params, rgbs,
                           skip_learn_crf=skip_learn_crf)
     gt = np.asarray(llff.test_images)
@@ -149,7 +156,7 @@ def run_video_render(args, llff, crf, variables, crf_params, chunk_fn, mesh,
     """Spiral/EPI novel-view video (ref: run_nerf.py:711-734)."""
     rgbs, depths = render_poses(variables, chunk_fn, llff.render_poses,
                                 llff.h, llff.w, llff.K,
-                                chunk=args.chunk // 2,
+                                chunk=args.chunk,
                                 render_factor=args.render_factor, mesh=mesh)
     rgbs = apply_crf_host(crf, crf_params, rgbs,
                           skip_learn_crf=skip_learn_crf)
@@ -273,7 +280,7 @@ def train(args, max_iters: Optional[int] = None):
         os.makedirs(outdir)
         rgbs, depths = render_poses(eval_variables(state), chunk_fn, poses,
                                     llff.h, llff.w, llff.K,
-                                    chunk=args.chunk // 2,
+                                    chunk=args.chunk,
                                     render_factor=args.render_factor,
                                     mesh=mesh, verbose=True)
         rgbs = apply_crf_host(crf, state.params["crf"], rgbs,

@@ -129,6 +129,12 @@ def compute_img_metric(im1, im2, metric: str = "mse", margin: float = 0,
             scorer = _get_lpips()
             if scorer is None:
                 return None
+            if min(a.shape[0], a.shape[1]) < 31:
+                # AlexNet's stride chain yields empty stage-5 feature maps
+                # below 31 px, making the distance NaN (the reference's
+                # torch LPIPS fails the same way, networks/lpips/lpips.py:
+                # 118-134); skip rather than log NaN for tiny smoke scenes
+                return None
             v = scorer(a, c)
         else:
             raise RuntimeError(f"metric {metric} not recognized")
