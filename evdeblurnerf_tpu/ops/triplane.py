@@ -223,6 +223,18 @@ def _slot_weights(f, size):
     return b, s0, s1
 
 
+# NOTE on an investigated non-option (tools/probe_gather_locality.py):
+# XLA VMEM-promotes small gather tables (the 28-46 MB coarse/16-comp
+# tables run at 2-3 ns/row) while the 187 MB fine 64-comp plane pays the
+# 13-15 ns/row HBM row-issue floor. Splitting it into four per-corner
+# [H*W, C] slices (47 MB each, weighted-sum recombination) won 49.6 vs
+# 62.6 ms in an isolated probe — but in the real eval program XLA could
+# only promote ONE slice (the budget is already spent on the other
+# tables); the remaining three paid full HBM row-issue on 4.19M rows
+# EACH, and the chunk regressed 239 -> 351 ms. The single packed gather's
+# one-row-issue-per-point is optimal under the actual VMEM budget.
+
+
 def grid_sample_2d_packed(packed, H, W, x, y, table_bf16=False,
                           compute_bf16=False):
     """Bilinear sample from a neighbor-packed plane: one gather per point.

@@ -209,3 +209,4 @@ def test_compute_bf16_matches_bf16_tables(grids):
     scale = float(jnp.max(jnp.abs(ref)))
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                atol=0.02 * scale)
+
