@@ -22,7 +22,8 @@ def positional_encoding_dim(multires: int, input_dim: int = 3,
     return input_dim * ((1 if include_input else 0) + 2 * multires)
 
 
-def positional_encoding(x, multires: int, include_input: bool = True):
+def positional_encoding(x, multires: int, include_input: bool = True,
+                        double_angle: bool = False):
     """[..., D] -> [..., D*(1+2*multires)] with per-band [sin, cos] order.
 
     Computed as ONE stacked sin + ONE cos over [..., m, D] and an
@@ -31,14 +32,37 @@ def positional_encoding(x, multires: int, include_input: bool = True):
     concatenate reads them all back — measured ~10 ms/eval-chunk of sine
     fusions + concat at the paper scale (tools/trace_eval.py). Values and
     output order are bit-identical to the per-band form.
+
+    ``double_angle`` replaces the 2m transcendentals with sin/cos of the
+    base angle plus the double-angle recurrence
+    ``sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a`` — 3 FMAs per band
+    on the VPU instead of a polynomial transcendental per element. The
+    recurrence runs in f32; the phase error roughly doubles per band
+    (~2^m * 1 ulp ≈ 6e-5 after 10 bands), orders below bf16 resolution —
+    used on the bf16 eval render path where the result is rounded to bf16
+    anyway. NOT bit-identical to jnp.sin, so the exact path stays the
+    default for training/parity.
     """
     if multires <= 0:
         return x
     D = x.shape[-1]
-    freqs = jnp.asarray(2.0 ** np.arange(multires, dtype=np.float32))
-    scaled = x[..., None, :] * freqs[:, None]          # [..., m, D]
-    sc = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-2)
+    if double_angle:
+        xf = x.astype(jnp.float32)
+        s, c = jnp.sin(xf), jnp.cos(xf)
+        sins, coss = [s], [c]
+        for _ in range(multires - 1):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            sins.append(s)
+            coss.append(c)
+        S = jnp.stack(sins, axis=-2)                   # [..., m, D]
+        C = jnp.stack(coss, axis=-2)
+        sc = jnp.stack([S, C], axis=-2)                # [..., m, 2, D]
+    else:
+        freqs = jnp.asarray(2.0 ** np.arange(multires, dtype=np.float32))
+        scaled = x[..., None, :] * freqs[:, None]      # [..., m, D]
+        sc = jnp.stack([jnp.sin(scaled), jnp.cos(scaled)], axis=-2)
     sc = sc.reshape(*x.shape[:-1], 2 * multires * D)   # [..., (sin_b, cos_b)*]
+    sc = sc.astype(x.dtype)
     if not include_input:
         return sc
     return jnp.concatenate([x, sc], axis=-1)

@@ -179,7 +179,14 @@ class VoxelNeRF(nn.Module):
         overwrites feature_map with the composited features).
         """
         R, S = pts.shape[0], pts.shape[1]
-        pts_embedded = positional_encoding(pts.reshape(R * S, 3), self.multires)
+        # bf16 eval renders (same gate as sample()'s compute_bf16): PE via
+        # the double-angle recurrence — FMAs instead of 2m transcendentals
+        # (~13 ms of sine fusions per eval chunk, tools/trace_eval.py); its
+        # ~1e-5 f32 phase error vanishes under the bf16 rounding
+        da = (self.table_bf16 and not is_train
+              and not os.environ.get("EVDN_EVAL_F32_INTERP"))
+        pts_embedded = positional_encoding(pts.reshape(R * S, 3),
+                                           self.multires, double_angle=da)
         h = jnp.concatenate([fts.reshape(R * S, -1), pts_embedded], -1)
         for l, layer in enumerate(self.sigma_net):
             h = layer(h)
@@ -219,7 +226,8 @@ class VoxelNeRF(nn.Module):
             depth_map = jnp.sum(weights * z_vals, -1)
             acc_map = jnp.sum(weights, -1)
 
-            dirs_embedded = positional_encoding(viewdirs, self.multires_views)
+            dirs_embedded = positional_encoding(viewdirs, self.multires_views,
+                                                double_angle=da)
             hc = jnp.concatenate([feat_ray, dirs_embedded], -1)
             for l, layer in enumerate(self.color_net):
                 hc = layer(hc)
@@ -231,7 +239,8 @@ class VoxelNeRF(nn.Module):
             # FVR: per-sample color, then composite.
             dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3))
             dirs_embedded = positional_encoding(dirs.reshape(R * S, 3),
-                                                self.multires_views)
+                                                self.multires_views,
+                                                double_angle=da)
             hc = jnp.concatenate([h[..., 1:], dirs_embedded], -1)
             for l, layer in enumerate(self.color_net):
                 hc = layer(hc)

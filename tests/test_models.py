@@ -166,3 +166,27 @@ def test_crf_extra_features_zero_padding():
     zero_feat = crf.apply(variables, x, x_feat=jnp.zeros((4, 2)))
     np.testing.assert_allclose(np.asarray(no_feat), np.asarray(zero_feat),
                                atol=1e-7)
+
+
+@pytest.mark.fast
+def test_positional_encoding_double_angle():
+    """Double-angle recurrence PE: same layout/order as the exact form,
+    values within the f32 recurrence error (~2^m ulp), far below bf16
+    resolution — the bf16 eval-render gate in voxnerf.__call__."""
+    from evdeblurnerf_tpu.models.embedding import positional_encoding
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(-4, 4, (257, 3)),
+                    jnp.float32)
+    for m in (4, 10):
+        exact = positional_encoding(x, m)
+        fast = positional_encoding(x, m, double_angle=True)
+        assert fast.shape == exact.shape
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   atol=3e-4)
+        # after bf16 rounding the residual stays below half a bf16 ulp at
+        # the sine's unit amplitude (near zero-crossings the *relative*
+        # error is large but the absolute error is what the downstream
+        # bf16 matmul consumes)
+        f16 = np.asarray(fast.astype(jnp.bfloat16), np.float32)
+        e16 = np.asarray(exact.astype(jnp.bfloat16), np.float32)
+        assert np.abs(f16 - e16).max() <= 2.0 ** -8 + 1e-7
