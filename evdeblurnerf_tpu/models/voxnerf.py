@@ -137,6 +137,22 @@ class VoxelNeRF(nn.Module):
                 planes = [p.astype(jnp.bfloat16) for p in planes]
                 lines = [l.astype(jnp.bfloat16) for l in lines]
             pp, pl_ = triplane.pack_grids(planes, lines)
+            if (not is_train and xyz.shape[0] <= 1_500_000
+                    and not os.environ.get("EVDN_EVAL_SHARED_PACK")):
+                # Eval at <=16k-ray chunks: give THIS sample() call its own
+                # packed tables instead of CSE-sharing one pack across the
+                # whole chunk. There the shared pack's lifetime spans both
+                # render passes and XLA's alternate-memory pass evicts one
+                # coarse table to HBM mid-program (measured: that gather
+                # runs 11.3 ms vs 1.95 ms for its VMEM-resident siblings;
+                # per-call packs cut the 16k chunk 126.7 -> 118.6 ms,
+                # tools/trace_eval.py). At 32k-ray chunks no eviction
+                # happens and the barrier only costs (~1.4% on the bench),
+                # so the re-pack is gated on the traced point count; train
+                # always keeps the shared pack (fwd+bwd reuse it and HBM
+                # there is dominated by the scatters).
+                pp, pl_ = jax.lax.optimization_barrier((tuple(pp),
+                                                        tuple(pl_)))
             feats = triplane.triplane_features_packed(
                 pp, pl_, xyz, table_bf16=self.table_bf16,
                 line_matmul=self.line_matmul,
