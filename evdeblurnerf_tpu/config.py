@@ -51,6 +51,10 @@ FLAG_SPEC = [
     _bool("no_wandb"),
     _bool("use_tensorboard"),
     _flag("num_gpu", int, 1),           # kept for config compat; pads render batches
+    # model-axis size of the 2-D (data, model) device mesh: shards the voxel
+    # tables (+ grads + Adam moments) over this many devices for scene grids
+    # beyond one chip's HBM; 1 = pure data parallelism (parallel/tp.py)
+    _flag("tp_model_parallel", int, 1),
     _flag("torch_hub_dir", str, ""),
     _bool("no_log_grads_norm"),
     _flag("clip_grads_norm", float, None),

@@ -24,6 +24,7 @@ import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import compositing, lane_shuffle, triplane
+from ..parallel import tp as tp_ctx
 from .embedding import positional_encoding
 from .layers import ACTIVATIONS, TorchLinear
 
@@ -124,6 +125,33 @@ class VoxelNeRF(nn.Module):
         # kernel boundary forces extra materializations in the backward.
         # The jnp path below is the fast path; the kernels remain as a
         # tested, documented experiment.
+        tp = tp_ctx.get_tp()
+        if (tp is not None and self.packed_sampling
+                and not self.is_initializing()):
+            # Tensor-parallel tables (2-D data x model mesh, see
+            # parallel/tp.py): the whole per-plane pipeline runs inside a
+            # shard_map on component slices, with the basis contraction
+            # folded in (its per-plane segments are K-blocks of the same
+            # dot). Init always takes the standard path so the param tree
+            # is identical with and without tp.
+            mesh, dax, max_ = tp
+            n_d, n_m = mesh.shape[dax], mesh.shape[max_]
+            divisible = (xyz.shape[0] % n_d == 0
+                         and all(int(p.shape[0]) % n_m == 0
+                                 for p in self.app_plane))
+            if divisible:
+                compute_bf16 = (self.table_bf16 and not is_train
+                                and not os.environ.get(
+                                    "EVDN_EVAL_F32_INTERP"))
+                kernel = self.basis_mat.variables["params"]["kernel"]
+                feats = triplane.triplane_features_tp(
+                    self.app_plane, self.app_line, xyz, kernel,
+                    mesh, dax, max_, table_bf16=self.table_bf16,
+                    line_matmul=self.line_matmul,
+                    compute_bf16=compute_bf16)
+                feats = checkpoint_name(feats, "triplane_feats")
+                return ACTIVATIONS[self.app_actfn](feats).reshape(
+                    *shape, self.app_dim)
         if self.packed_sampling:
             # EVDN_EVAL_F32_INTERP=1 restores f32 interpolation arithmetic
             # at eval (A/B escape for quality validation)

@@ -385,3 +385,74 @@ def tv_loss_app(planes, lines):
     for plane, line in zip(planes, lines):
         total = total + tv_loss_2d(plane) * 1e-2 + tv_loss_1d(line) * 1e-3
     return total
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel sampling: tables sharded over a 2-D (data, model) mesh
+# ---------------------------------------------------------------------------
+
+try:  # jax >= 0.5 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+from jax.sharding import PartitionSpec as _P
+
+
+def triplane_features_tp(planes, lines, xyz, basis_kernel, mesh,
+                         data_axis, model_axis, table_bf16=False,
+                         line_matmul=False, compute_bf16=False):
+    """Packed tri-plane sampling with component-sharded tables.
+
+    One ``shard_map`` over the 2-D mesh: each device packs + samples its
+    local ``C/k`` component slice of every plane/line for its local ray
+    shard, contracts with its rows of the per-plane ``basis_mat`` segment,
+    and a ``lax.psum`` over the model axis yields the ``[N, app_dim]``
+    features. The 4C-neighbor packing would defeat a plain GSPMD
+    annotation (packing concatenates along the sharded component axis ->
+    all-gather); running the whole per-plane pipeline device-locally keeps
+    the tables distributed with the psum of the small post-basis
+    activations as the only forward collective. See parallel/tp.py for
+    the design rationale.
+
+    Equivalent to ``triplane_features_packed(...) @ basis_kernel`` up to
+    f32 summation grouping (the per-plane partial dots are a blocked
+    K-contraction of the same products).
+    """
+    comps = [int(p.shape[0]) for p in planes]
+    offs = [0, comps[0], comps[0] + comps[1], sum(comps)]
+    segs = [basis_kernel[offs[i]:offs[i + 1]] for i in range(3)]
+
+    def local(xyz_l, p0, p1, p2, l0, l1, l2, s0, s1, s2):
+        planes_l, lines_l = [p0, p1, p2], [l0, l1, l2]
+        segs_l = [s0, s1, s2]
+        if compute_bf16:
+            planes_l = [p.astype(jnp.bfloat16) for p in planes_l]
+            lines_l = [l.astype(jnp.bfloat16) for l in lines_l]
+        pp, pl_ = pack_grids(planes_l, lines_l)
+        out = None
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            packed, H, W = pp[i]
+            pf = grid_sample_2d_packed(packed, H, W,
+                                       xyz_l[:, m0], xyz_l[:, m1],
+                                       table_bf16=table_bf16,
+                                       compute_bf16=compute_bf16)
+            packed_l, D = pl_[i]
+            lf = grid_sample_1d_packed(packed_l, D, xyz_l[:, VEC_MODE[i]],
+                                       table_bf16=table_bf16,
+                                       line_matmul=line_matmul,
+                                       compute_bf16=compute_bf16)
+            part = (pf * lf) @ segs_l[i]
+            out = part if out is None else out + part
+        return jax.lax.psum(out, model_axis)
+
+    tab3 = (_P(model_axis, None, None),) * 3
+    vec2 = (_P(model_axis, None),) * 3
+    in_specs = (_P(data_axis, None),) + tab3 + vec2 + vec2
+    kwargs = dict(mesh=mesh, in_specs=in_specs,
+                  out_specs=_P(data_axis, None))
+    try:
+        fn = _shard_map(local, check_vma=False, **kwargs)
+    except TypeError:  # older jax: the kwarg is named check_rep
+        fn = _shard_map(local, check_rep=False, **kwargs)
+    return fn(xyz, *planes, *lines, *segs)

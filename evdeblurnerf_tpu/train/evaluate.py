@@ -30,7 +30,11 @@ def build_chunk_renderer(model, mesh=None):
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        jit_kwargs["in_shardings"] = (NamedSharding(mesh, P()),
+        # variables inherit their placement (None): replicated under pure
+        # DP, and component-sharded tables stay distributed under
+        # --tp_model_parallel (parallel/tp.py) instead of being forced
+        # back to a replicated copy per render
+        jit_kwargs["in_shardings"] = (None,
                                       NamedSharding(mesh, P("data")))
     return jax.jit(render_chunk, **jit_kwargs)
 

@@ -24,6 +24,7 @@ from ..models.system import EvDeblurNeRF, kernel_config_from_args
 from ..models.tonemapping import TonemappingTransform
 from ..ops import lane_shuffle
 from ..parallel import (batch_sharding, create_mesh, replicated_sharding)
+from ..parallel import tp as tp_ctx
 from ..utils.logger import Logger
 from ..utils.metrics import compute_img_metric
 from ..utils.misc import (annealing_interpolator,
@@ -189,10 +190,29 @@ def train(args, max_iters: Optional[int] = None):
         shutil.copyfile(args.config, os.path.join(expdir, "config.txt"))
 
     # mesh + batch sizes; the lane kernels shard over the same mesh
-    # (shard_map, no GSPMD replication around pallas_call)
-    mesh = create_mesh()
+    # (shard_map, no GSPMD replication around pallas_call). With
+    # --tp_model_parallel k > 1 the mesh is 2-D (data x model) and the
+    # voxel tables (+ their Adam moments) shard over the model axis
+    # (parallel/tp.py) — capacity for grids beyond one chip's HBM.
+    tp_k = max(1, int(getattr(args, "tp_model_parallel", 1) or 1))
+    if tp_k > 1:
+        n_total = len(jax.devices())
+        if n_total % tp_k != 0:
+            raise ValueError(
+                f"--tp_model_parallel={tp_k} must divide the device count "
+                f"({n_total})")
+        mesh = tp_ctx.create_mesh_2d(n_total // tp_k, tp_k)
+        tp_ctx.set_tp_mesh(mesh)
+        for nc in (args.coarse_app_n_comp or (64, 16, 16),
+                   args.fine_app_n_comp or (64, 16, 16)):
+            if any(int(c) % tp_k for c in nc):
+                print(f"WARNING: app_n_comp {tuple(nc)} not divisible by "
+                      f"tp_model_parallel={tp_k}; that field falls back to "
+                      "replicated (GSPMD) sampling")
+    else:
+        mesh = create_mesh()
     lane_shuffle.set_mesh(mesh if mesh.size > 1 else None)
-    n_dev = mesh.size
+    n_dev = int(mesh.shape[tp_ctx.DATA_AXIS])
     ga = args.grad_accum or 1
     args.N_rand = _round_to_devices(args.N_rand, n_dev, "N_rand",
                                     grad_accum=ga)
@@ -256,7 +276,10 @@ def train(args, max_iters: Optional[int] = None):
     # replicate state over the mesh; batches shard on the ray axis
     repl = replicated_sharding(mesh)
     data_shard = batch_sharding(mesh)
-    state = jax.device_put(state, repl)
+    if tp_k > 1:
+        state = tp_ctx.shard_state_tp(state, mesh)
+    else:
+        state = jax.device_put(state, repl)
 
     chunk_fn = build_chunk_renderer(model, mesh=mesh)
 

@@ -90,12 +90,17 @@ def _make_batches():
     return batch, ev_batch
 
 
-def _run_one_step(n_devices, lane_kernels=False):
+def _run_one_step(n_devices, lane_kernels=False, tp=None):
     from evdeblurnerf_tpu.ops import lane_shuffle
+    from evdeblurnerf_tpu.parallel import tp as tpm
 
     args, model, crf = _setup()
     batch, ev_batch = _make_batches()
-    mesh = create_mesh(jax.devices()[:n_devices])
+    if tp:
+        mesh = tpm.create_mesh_2d(*tp, devices=jax.devices()[:n_devices])
+        tpm.set_tp_mesh(mesh)
+    else:
+        mesh = create_mesh(jax.devices()[:n_devices])
     if lane_kernels:
         # exercise the REAL Pallas kernels (interpreter backend) inside the
         # sharded step — the same composition the TPU bench runs
@@ -106,7 +111,10 @@ def _run_one_step(n_devices, lane_kernels=False):
                  ("images_idx", "rays_x", "rays_y", "poses")}
     state = create_train_state(model, crf, tx, key, batch["rays"], rays_info)
 
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if tp:
+        state = tpm.shard_state_tp(state, mesh)
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
     batch = jax.device_put(batch, batch_sharding(mesh))
     ev_batch = jax.device_put(ev_batch, batch_sharding(mesh))
 
@@ -116,10 +124,13 @@ def _run_one_step(n_devices, lane_kernels=False):
         w_pts0_target=lambda s: 0.0,
         w_events_egm=annealing_interpolator(1.0, 1.0, None, "constant"),
         fine_loss_weight=0.1, events_active=True)
-    state, aux = step_fn(state, batch, ev_batch, key, sw,
-                         force_naive=False, events_active=True)
-    loss = float(aux["loss"])
-    grads = jax.device_get(aux["grads_tree"])
+    try:
+        state, aux = step_fn(state, batch, ev_batch, key, sw,
+                             force_naive=False, events_active=True)
+        loss = float(aux["loss"])
+        grads = jax.device_get(aux["grads_tree"])
+    finally:
+        tpm.set_tp_mesh(None)
     return loss, grads
 
 
@@ -170,3 +181,59 @@ def _assert_grads_close(loss1, grads1, loss8, grads8):
         np.testing.assert_allclose(
             leaf8, leaf1, rtol=5e-3, atol=1e-2 * scale,
             err_msg=f"grad mismatch at {name}")
+
+
+@pytest.mark.fast
+def test_tp_sample_matches_replicated():
+    """Tensor-parallel table sampling (shard_map over a 4x2 data x model
+    mesh, component-sliced tables + per-plane basis segments + psum) must
+    match the single-device packed path in both values and gradients."""
+    from evdeblurnerf_tpu.models.voxnerf import VoxelNeRF
+    from evdeblurnerf_tpu.parallel import tp as tpm
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    m = VoxelNeRF(n_voxels=4096, aabb=((-1.5,) * 3, (1.5,) * 3),
+                  app_n_comp=(16, 4, 4), line_matmul=True)
+    rng = np.random.default_rng(0)
+    pts = np.asarray(rng.uniform(-1, 1, (64, 8, 3)), np.float32)
+    v = m.init(jax.random.PRNGKey(0), pts, is_train=True, method=m.sample)
+
+    def loss_fn(vv):
+        return (m.apply(vv, pts, is_train=True, method=m.sample) ** 2).sum()
+
+    ref = m.apply(v, pts, is_train=True, method=m.sample)
+    g_ref = jax.grad(loss_fn)(v)
+
+    mesh = tpm.create_mesh_2d(4, 2)
+    tpm.set_tp_mesh(mesh)
+    try:
+        v_sh = jax.device_put(v, tpm.tp_shardings(v, mesh))
+        # the big plane/line must actually be sharded, not replicated
+        pl0 = v_sh["params"]["app_plane_0"]
+        assert not pl0.sharding.is_fully_replicated
+        out = jax.jit(lambda vv: m.apply(vv, pts, is_train=True,
+                                         method=m.sample))(v_sh)
+        g_tp = jax.jit(jax.grad(loss_fn))(v_sh)
+    finally:
+        tpm.set_tp_mesh(None)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_tp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(
+            b, a, rtol=1e-5, atol=1e-5 * scale,
+            err_msg=f"tp grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.slow
+def test_tp_dp_step_matches_single_device():
+    """Full train step on a 4x2 (data x model) mesh with component-sharded
+    voxel tables must match the plain single-device step."""
+    loss1, grads1 = _run_one_step(1)
+    loss8, grads8 = _run_one_step(8, tp=(4, 2))
+    assert np.isfinite(loss1)
+    _assert_grads_close(loss1, grads1, loss8, grads8)

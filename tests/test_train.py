@@ -158,3 +158,33 @@ def test_train_image_batch_sampling(scene, tmp_path):
                      N_rand=64)
     state = train(args)
     assert int(state.step) == 5
+
+
+def test_train_tp_smoke(scene, tmp_path):
+    """--tp_model_parallel 2: the production loop on a 4x2 (data x model)
+    mesh with component-sharded voxel tables steps to finite params, and
+    the table params stay distributed (not replicated) on the mesh."""
+    import jax
+
+    from evdeblurnerf_tpu.parallel import tp as tpm
+
+    scene_dir, _ = scene
+    args = tiny_args(
+        scene_dir, str(tmp_path), expname="tp",
+        N_iters=6, i_weights=10 ** 9, i_testset=10 ** 9, i_print=2,
+        tp_model_parallel=2,
+    )
+    try:
+        state = train(args)
+    finally:
+        tpm.set_tp_mesh(None)
+    assert int(state.step) == 6
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert all(np.isfinite(x).all() for x in leaves)
+    pl0 = state.params["nerf"]["mlp_coarse"]["field"]["app_plane_0"] \
+        if "field" in state.params["nerf"].get("mlp_coarse", {}) else None
+    if pl0 is None:  # param tree layout: find any app_plane_0 leaf
+        flat = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(state.params)}
+        pl0 = next(v for k, v in flat.items() if "app_plane_0" in k)
+    assert not pl0.sharding.is_fully_replicated
