@@ -162,7 +162,8 @@ def test_train_image_batch_sampling(scene, tmp_path):
 
 def test_train_tp_smoke(scene, tmp_path):
     """--tp_model_parallel 2: the production loop on a 4x2 (data x model)
-    mesh with component-sharded voxel tables steps to finite params, and
+    mesh with component-sharded voxel tables steps to finite params, saves
+    an orbax checkpoint of the distributed arrays, resumes from it, and
     the table params stay distributed (not replicated) on the mesh."""
     import jax
 
@@ -171,11 +172,17 @@ def test_train_tp_smoke(scene, tmp_path):
     scene_dir, _ = scene
     args = tiny_args(
         scene_dir, str(tmp_path), expname="tp",
+        N_iters=4, i_weights=4, i_testset=10 ** 9, i_print=2,
+        tp_model_parallel=2,
+    )
+    args2 = tiny_args(
+        scene_dir, str(tmp_path), expname="tp",
         N_iters=6, i_weights=10 ** 9, i_testset=10 ** 9, i_print=2,
         tp_model_parallel=2,
     )
     try:
-        state = train(args)
+        train(args)          # saves a step-4 checkpoint (sharded tables)
+        state = train(args2)  # restores it and continues to 6
     finally:
         tpm.set_tp_mesh(None)
     assert int(state.step) == 6
