@@ -211,6 +211,7 @@ def train(args, max_iters: Optional[int] = None):
                       "replicated (GSPMD) sampling")
     else:
         mesh = create_mesh()
+        tp_ctx.set_tp_mesh(None)   # clear any mesh from a prior train()
     lane_shuffle.set_mesh(mesh if mesh.size > 1 else None)
     n_dev = int(mesh.shape[tp_ctx.DATA_AXIS])
     ga = args.grad_accum or 1
