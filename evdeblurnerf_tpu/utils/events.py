@@ -55,8 +55,10 @@ def load_events_h5(events_path: str, h: int, w: int, coords_decimals=None,
     ev_coords = np.stack([events["x"], events["y"]], axis=-1)
 
     num_ev = ev_coords.shape[0]
-    all_coords = np.concatenate([ev_coords,
-                                 zeroev_coords.astype(ev_coords.dtype)], 0)
+    # plain concatenation promotes float32 coords + int64 zero-event coords
+    # to float64, exactly like ref: utils/events.py:53 — the promotion decides
+    # the byte-wise void-unique ordering and therefore the coordinate IDs
+    all_coords = np.concatenate([ev_coords, zeroev_coords], 0)
 
     if optimize_ids or float_coords:
         void_view = to_flattenvoid(all_coords).ravel()
