@@ -286,7 +286,7 @@ class LLFFEventsDataset:
                 events_ids, hops, events[:, 3], events[:, 2])
             end = events[succ_idx]
         else:
-            end = events[start[:, 3]]
+            end = events[start[:, 3].astype(np.int64)]
             pos_mask = end[:, 2] > 0
             pos_cumsum = np.where(pos_mask, end[:, 2], 0)
             neg_cumsum = np.where(~pos_mask, end[:, 2], 0)

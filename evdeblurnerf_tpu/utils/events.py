@@ -72,9 +72,15 @@ def load_events_h5(events_path: str, h: int, w: int, coords_decimals=None,
         all_ids = (all_coords[:, 1] * w + all_coords[:, 0]).astype(np.int64)
 
     ev_ids, noev_ids = all_ids[:num_ev], all_ids[num_ev:]
+    # natural promotion, like ref: utils/events.py:68 — when timestamps are
+    # fractional (not compacted to int by possibly_smallest_int) the events
+    # array stays float64, preserving sub-microsecond event times for pose
+    # interpolation; ids/polarities are small ints, exact in float64
     events_arr = np.stack([ev_ids.astype(np.int64),
-                           np.asarray(events["t"], np.int64),
-                           np.asarray(events["p"], np.int64)], axis=-1)
+                           np.asarray(events["t"]),
+                           np.asarray(events["p"])], axis=-1)
+    if events_arr.dtype != np.float64:
+        events_arr = events_arr.astype(np.int64)
     return events_arr, noev_ids, id_to_coords
 
 
