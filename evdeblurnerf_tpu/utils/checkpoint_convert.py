@@ -1,0 +1,254 @@
+"""Convert reference PyTorch checkpoints into this framework's parameters.
+
+The reference trainer saves ``{global_step, network_state_dict (NeRFAll:
+mlp_coarse/mlp_fine + kernelsnet + awpnet), crf_state_dict
+(TonemappingTransform), optimizer_state_dict, wandb_id}`` as ``*.tar``
+(ref: run_nerf.py:617-638). This module maps those torch-layout tensors
+into our flax parameter tree so a model trained with the reference can be
+evaluated, rendered, or fine-tuned here (CLI:
+tools/convert_reference_checkpoint.py).
+
+The name/layout correspondence is the exact inverse of the transplant used
+by the parity oracles (tools/make_reference_fixtures.py), which is verified
+against the live reference to ~1e-7 forward agreement; the round-trip is
+pinned by tests/test_checkpoint_convert.py on recorded reference-shaped
+state dicts.
+
+Layout transforms: torch ``nn.Linear`` weights are [out, in] (ours:
+[in, out] Dense kernels); Conv1d 1x1 weights are [out, in, 1]; the MAM
+attention conv is [out, in, 1, 1]; tri-plane grids carry a leading
+batch-1 axis (and lines a trailing width-1 axis) for ``F.grid_sample``
+(ref: networks/pdrf/voxnerf.py:104-151). Adam moments are NOT converted —
+fine-tuning restarts the optimizer, like the reference's own ``ft_path``
+flow restarts schedules.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+__all__ = ["convert_network_state_dict", "convert_crf_state_dict",
+           "merge_into_variables", "UnmappedKeysError"]
+
+
+class UnmappedKeysError(ValueError):
+    pass
+
+
+def _k(*parts) -> str:
+    return "".join(f"[{p!r}]" for p in parts)
+
+
+def _t(v):
+    return np.ascontiguousarray(np.swapaxes(v, -1, -2))
+
+
+# keys of the reference with no counterpart here, safely dropped:
+# - awpnet.MAM.conv.*: dead weight — MotionAggregationModule.forward never
+#   calls self.conv (ref: networks/dpnerf/mam.py:63-84)
+# - num_batches_tracked: torch BatchNorm bookkeeping
+_IGNORE = re.compile(
+    r"^(awpnet\.MAM\.conv\.|.*\.num_batches_tracked$)")
+
+
+def _rank_map(sd, pattern):
+    """Sequential indices of Linears (activations occupy odd slots) ->
+    dense ranks, e.g. kernelsnet.linears.{0,2,4} -> linears_{0,1,2}."""
+    idx = sorted({int(m.group(1)) for key in sd
+                  if (m := re.match(pattern, key))})
+    return {i: j for j, i in enumerate(idx)}
+
+
+def convert_network_state_dict(sd: Dict[str, np.ndarray]
+                               ) -> Tuple[Dict[str, np.ndarray],
+                                          Dict[str, np.ndarray]]:
+    """Map a reference ``network_state_dict`` to (params, batch_stats),
+    each a flat dict keyed by jax keystr relative to the model variables
+    (``['params']['renderer']...``)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+    unmapped = []
+
+    dsk_linears = _rank_map(sd, r"kernelsnet\.linears\.(\d+)\.weight$")
+    dsk_linears1 = _rank_map(sd, r"kernelsnet\.linears1\.(\d+)\.weight$")
+
+    def lin(base_parts, name_map):
+        """weight/bias of a torch Linear -> kernel/bias."""
+        return {"weight": (base_parts + ("kernel",), _t),
+                "bias": (base_parts + ("bias",), lambda v: v)}[name_map]
+
+    for key, v in sd.items():
+        if _IGNORE.match(key):
+            continue
+
+        # --- tri-plane / vanilla-NeRF fields -----------------------------
+        m = re.match(r"^mlp_(coarse|fine)\.app_(plane|line)\.(\d)$", key)
+        if m:
+            stage, kind, i = m.groups()
+            out = v[0] if kind == "plane" else v[0, :, :, 0]
+            params[_k("params", "renderer", f"mlp_{stage}",
+                      f"app_{kind}_{i}")] = out
+            continue
+        m = re.match(
+            r"^mlp_(coarse|fine)\.(basis_mat|sigma_net\.\d+|color_net\.\d+|"
+            r"pts_linears\.\d+|views_linears\.\d+|feature_linear|"
+            r"alpha_linear|rgb_linear)\.(weight|bias)$", key)
+        if m:
+            stage, mod, wb = m.groups()
+            mod = (mod.replace("sigma_net.", "sigma_net_")
+                   .replace("color_net.", "color_net_")
+                   .replace("pts_linears.", "pts_linear_")
+                   .replace("views_linears.", "views_linear_"))
+            parts, fn = lin(("params", "renderer", f"mlp_{stage}", mod), wb)
+            params[_k(*parts)] = fn(v)
+            continue
+
+        # --- view embedding (plain table or table+MLP) --------------------
+        if key in ("kernelsnet.view_embed_module.img_embed",
+                   "kernelsnet.img_embed.img_embed"):
+            params[_k("params", "view_embed", "img_embed")] = v
+            continue
+        m = re.match(r"^kernelsnet\.(?:view_embed_module|img_embed)\."
+                     r"view_embed_linears\.(\d+)\.(weight|bias)$", key)
+        if m:
+            i, wb = m.groups()
+            parts, fn = lin(("params", "view_embed", f"linear_{i}"), wb)
+            params[_k(*parts)] = fn(v)
+            continue
+
+        # --- RBK screw-motion branches ------------------------------------
+        m = re.match(r"^kernelsnet\.([rvw])_(branch\.(\d+)|linear)\."
+                     r"(weight|bias)$", key)
+        if m:
+            b, which, i, wb = m.groups()
+            mod = f"{b}_branch_{i}" if i is not None else f"{b}_linear"
+            parts, fn = lin(("params", "kernelnet", mod), wb)
+            params[_k(*parts)] = fn(v)
+            continue
+
+        # --- DSK/PBE kernel ------------------------------------------------
+        if key == "kernelsnet.pattern_pos":
+            params[_k("params", "kernelnet", "pattern_pos")] = v
+            continue
+        m = re.match(r"^kernelsnet\.(linears1?)\.(\d+)\.(weight|bias)$", key)
+        if m:
+            seq, i, wb = m.groups()
+            rank = (dsk_linears if seq == "linears" else dsk_linears1)[int(i)]
+            parts, fn = lin(("params", "kernelnet", f"{seq}_{rank}"), wb)
+            params[_k(*parts)] = fn(v)
+            continue
+
+        # --- AWP + MAM -----------------------------------------------------
+        m = re.match(r"^awpnet\.(sample|motion)_feature_embed_layer\."
+                     r"(\d+)\.(weight|bias)$", key)
+        if m:
+            kind, i, wb = m.groups()
+            parts, fn = lin(("params", "awpnet",
+                             f"{kind}_feature_embed_{i}"), wb)
+            params[_k(*parts)] = fn(v)
+            continue
+        m = re.match(r"^awpnet\.(w_linear|MAM\.linear)\.(weight|bias)$", key)
+        if m:
+            mod, wb = m.groups()
+            parts = (("params", "awpnet", "MAM", "linear")
+                     if mod == "MAM.linear" else ("params", "awpnet", mod))
+            parts, fn = lin(parts, wb)
+            params[_k(*parts)] = fn(v)
+            continue
+        m = re.match(r"^awpnet\.MAM\.Corr\.(conva|convb|convc|convn|convl)"
+                     r"\.weight$", key)
+        if m:
+            params[_k("params", "awpnet", "MAM", "Corr", m.group(1),
+                      "kernel")] = _t(v[..., 0])
+            continue
+        if key == "awpnet.MAM.Corr.convd.0.weight":
+            params[_k("params", "awpnet", "MAM", "Corr", "convd",
+                      "kernel")] = _t(v[..., 0])
+            continue
+        m = re.match(r"^awpnet\.MAM\.Corr\.convd\.1\.(weight|bias|"
+                     r"running_mean|running_var)$", key)
+        if m:
+            which = m.group(1)
+            if which in ("weight", "bias"):
+                params[_k("params", "awpnet", "MAM", "Corr", "convd_bn",
+                          "scale" if which == "weight" else "bias")] = v
+            else:
+                stats[_k("batch_stats", "awpnet", "MAM", "Corr", "convd_bn",
+                         which.replace("running_", ""))] = v
+            continue
+        if key == "awpnet.MAM.Corr.line_conv_att.weight":
+            params[_k("params", "awpnet", "MAM", "Corr", "line_conv_att",
+                      "kernel")] = _t(v[:, :, 0, 0])
+            continue
+
+        unmapped.append(key)
+
+    if unmapped:
+        raise UnmappedKeysError(
+            "unrecognized reference network_state_dict keys (legacy "
+            "two-network checkpoints are not supported): "
+            f"{sorted(unmapped)}")
+    return params, stats
+
+
+def convert_crf_state_dict(sd: Dict[str, np.ndarray]
+                           ) -> Dict[str, np.ndarray]:
+    """Map a reference ``crf_state_dict`` (TonemappingTransform) to flat
+    params keyed ``['params']['tonemapping_{rgb,event}']['linear_j']...``.
+    Only ``learn`` heads carry parameters (ref: tonemapping.py:16-27)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: Dict[str, np.ndarray] = {}
+    unmapped = []
+    ranks = {head: _rank_map(sd, rf"tonemapping_{head}\.linear\.(\d+)"
+                                 r"\.weight$")
+             for head in ("rgb", "event")}
+    for key, v in sd.items():
+        m = re.match(r"^tonemapping_(rgb|event)\.linear\.(\d+)\."
+                     r"(weight|bias)$", key)
+        if not m:
+            unmapped.append(key)
+            continue
+        head, i, wb = m.groups()
+        j = ranks[head][int(i)]
+        out = _t(v) if wb == "weight" else v
+        params[_k("params", f"tonemapping_{head}", f"linear_{j}",
+                  "kernel" if wb == "weight" else "bias")] = out
+    if unmapped:
+        raise UnmappedKeysError(
+            f"unrecognized reference crf_state_dict keys: {sorted(unmapped)}")
+    return params
+
+
+def merge_into_variables(template_vars, flat_updates: Dict[str, np.ndarray],
+                         label: str = "checkpoint"):
+    """Replace leaves of ``template_vars`` (a variables dict with 'params'
+    and optionally 'batch_stats') named in ``flat_updates`` (jax keystr ->
+    array). Every update must match an existing leaf in name AND shape;
+    leaves not updated keep their template values (fresh init)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves_with_path(template_vars)
+    by_key = {jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves}
+    extra = sorted(set(flat_updates) - set(by_key))
+    if extra:
+        raise UnmappedKeysError(
+            f"{label}: converted keys missing from the model (config "
+            f"mismatch?): {extra}")
+    for k, v in flat_updates.items():
+        if by_key[k].shape != np.asarray(v).shape:
+            raise UnmappedKeysError(
+                f"{label}: shape mismatch at {k}: model "
+                f"{by_key[k].shape} vs checkpoint {np.asarray(v).shape} "
+                "(config mismatch?)")
+    untouched = sorted(set(by_key) - set(flat_updates))
+
+    treedef = jax.tree_util.tree_structure(template_vars)
+    new_leaves = [flat_updates.get(jax.tree_util.keystr(p),
+                                   np.asarray(v)).astype(
+                      np.asarray(v).dtype)
+                  for p, v in leaves]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), untouched

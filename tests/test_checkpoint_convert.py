@@ -1,0 +1,102 @@
+"""Reference-checkpoint conversion round-trip against recorded state dicts.
+
+tests/goldens/oracle_convert.npz holds, per oracle variant, the ACTUAL
+reference modules' ``state_dict()`` (torch layout, exactly what
+run_nerf.py:617-638 checkpoints) carrying weights transplanted from a
+seeded flax tree — generated and live-verified by
+tools/make_convert_oracle_fixture.py. These tests replay
+evdeblurnerf_tpu.utils.checkpoint_convert on the recorded dicts and
+assert it reproduces the flax tree EXACTLY, and that the converted CRF
+head reproduces the recorded torch forward.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import oracle_common as oc
+from evdeblurnerf_tpu.utils import checkpoint_convert as cc
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "oracle_convert.npz")
+
+
+@pytest.fixture(scope="module")
+def ora():
+    assert os.path.exists(GOLDEN), (
+        "oracle_convert.npz missing; regenerate with "
+        "python tools/make_convert_oracle_fixture.py")
+    data = np.load(GOLDEN)
+    return {k: data[k] for k in data.files}
+
+
+def group(ora, prefix):
+    return {k[len(prefix):]: v for k, v in ora.items()
+            if k.startswith(prefix)}
+
+
+@pytest.mark.parametrize("name", sorted(oc.VARIANTS))
+def test_network_conversion_roundtrip(ora, name):
+    sd = group(ora, f"net_{name}/")
+    expect = group(ora, f"exp_{name}/")
+    params, stats = cc.convert_network_state_dict(sd)
+    got = dict(params, **stats)
+    assert sorted(got) == sorted(expect), (
+        set(got) ^ set(expect))
+    for k in expect:
+        np.testing.assert_array_equal(got[k], expect[k], err_msg=k)
+
+
+@pytest.mark.parametrize("name", sorted(oc.VARIANTS))
+def test_merge_into_model_variables(ora, name):
+    sd = group(ora, f"net_{name}/")
+    params, stats = cc.convert_network_state_dict(sd)
+    _, variables = oc.init_variant(name)
+    merged, untouched = cc.merge_into_variables(
+        variables, dict(params, **stats), label=name)
+    assert not untouched
+    flat = oc.flatten(merged)
+    expect = group(ora, f"exp_{name}/")
+    for k in expect:
+        np.testing.assert_array_equal(flat[k], expect[k], err_msg=k)
+
+
+def test_shape_mismatch_is_loud(ora):
+    name = sorted(oc.VARIANTS)[0]
+    sd = group(ora, f"net_{name}/")
+    params, stats = cc.convert_network_state_dict(sd)
+    _, variables = oc.init_variant(name)
+    key = next(iter(params))
+    params[key] = params[key][..., :1]
+    with pytest.raises(cc.UnmappedKeysError, match="shape mismatch"):
+        cc.merge_into_variables(variables, dict(params, **stats))
+
+
+def test_unknown_keys_are_loud(ora):
+    name = sorted(oc.VARIANTS)[0]
+    sd = group(ora, f"net_{name}/")
+    sd["network_fn_state_dict.some.legacy.key"] = np.zeros(3)
+    with pytest.raises(cc.UnmappedKeysError, match="unrecognized"):
+        cc.convert_network_state_dict(sd)
+
+
+def test_crf_conversion_forward(ora):
+    crf_sd = group(ora, "crf_sd/")
+    flat = cc.convert_crf_state_dict(crf_sd)
+    expect = group(ora, "crf_exp/")
+    assert sorted(flat) == sorted(expect)
+    for k in expect:
+        np.testing.assert_array_equal(flat[k], expect[k], err_msg=k)
+
+    import jax
+
+    crf = oc.build_crf()
+    template = dict(crf.init(jax.random.PRNGKey(3), np.zeros((4, 3)),
+                             mode="init_all"))
+    merged, _ = cc.merge_into_variables(template, flat, label="crf")
+    out = crf.apply({"params": merged["params"]}, ora["crf_x"],
+                    mode="encode_luma", ev_extra_feat=ora["crf_feat"])
+    np.testing.assert_allclose(np.asarray(out), ora["crf_out"], atol=2e-6,
+                               rtol=2e-6,
+                               err_msg="converted CRF vs recorded torch")
