@@ -31,6 +31,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 __all__ = ["convert_network_state_dict", "convert_crf_state_dict",
+           "export_network_state_dict", "export_crf_state_dict",
            "merge_into_variables", "UnmappedKeysError"]
 
 
@@ -221,6 +222,191 @@ def convert_crf_state_dict(sd: Dict[str, np.ndarray]
         raise UnmappedKeysError(
             f"unrecognized reference crf_state_dict keys: {sorted(unmapped)}")
     return params
+
+
+def export_network_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_network_state_dict`: map this framework's
+    network variables (``{'params': ..., 'batch_stats': ...}``) to a
+    reference ``network_state_dict`` in torch layout that
+    ``NeRFAll.load_state_dict`` accepts strict (ref: utils/misc.py:198-214).
+
+    The kernel family is inferred from the parameter names (RBK stores the
+    view embedding under ``view_embed_module``, DSK/PBE under ``img_embed``
+    — ref: dpnerf/blurmodel.py:16 vs pdrf/blurmodel.py:75). Weights the
+    reference module owns but never uses in forward (``awpnet.MAM.conv``,
+    ref: dpnerf/mam.py:63-66) plus BatchNorm ``num_batches_tracked`` are
+    synthesized (zeros/identity) so strict loading succeeds.
+    """
+    import jax
+
+    flat = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_leaves_with_path(variables)}
+    is_rbk = any("['kernelnet']['r_branch_" in k or
+                 "['kernelnet']['r_linear']" in k for k in flat)
+    ve = "view_embed_module" if is_rbk else "img_embed"
+    sd: Dict[str, np.ndarray] = {}
+    unmapped = []
+
+    def tt(v):
+        return np.asarray(v, np.float32)
+
+    for key, v in flat.items():
+        # --- tri-plane / vanilla-NeRF fields -----------------------------
+        m = re.match(r"^\['params'\]\['renderer'\]\['mlp_(coarse|fine)'\]"
+                     r"\['app_(plane|line)_(\d)'\]$", key)
+        if m:
+            stage, kind, i = m.groups()
+            out = v[None] if kind == "plane" else v[None, :, :, None]
+            sd[f"mlp_{stage}.app_{kind}.{i}"] = tt(out)
+            continue
+        m = re.match(r"^\['params'\]\['renderer'\]\['mlp_(coarse|fine)'\]"
+                     r"\['(\w+?)(?:_(\d+))?'\]\['(kernel|bias)'\]$", key)
+        if m:
+            stage, mod, i, kb = m.groups()
+            if mod in ("pts_linear", "views_linear"):
+                mod += "s"
+            name = f"mlp_{stage}.{mod}" + (f".{i}" if i is not None else "")
+            sd[f"{name}.{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+
+        # --- view embedding ------------------------------------------------
+        if key == _k("params", "view_embed", "img_embed"):
+            sd[f"kernelsnet.{ve}.img_embed"] = tt(v)
+            continue
+        m = re.match(r"^\['params'\]\['view_embed'\]\['linear_(\d+)'\]"
+                     r"\['(kernel|bias)'\]$", key)
+        if m:
+            i, kb = m.groups()
+            sd[f"kernelsnet.{ve}.view_embed_linears.{i}."
+               f"{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+
+        # --- RBK / DSK / PBE kernel -----------------------------------------
+        m = re.match(r"^\['params'\]\['kernelnet'\]\['([rvw])_"
+                     r"(branch_(\d+)|linear)'\]\['(kernel|bias)'\]$", key)
+        if m:
+            b, which, i, kb = m.groups()
+            name = (f"kernelsnet.{b}_branch.{i}" if i is not None
+                    else f"kernelsnet.{b}_linear")
+            sd[f"{name}.{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+        if key == _k("params", "kernelnet", "pattern_pos"):
+            sd["kernelsnet.pattern_pos"] = tt(v)
+            continue
+        m = re.match(r"^\['params'\]\['kernelnet'\]\['(linears1?)_(\d+)'\]"
+                     r"\['(kernel|bias)'\]$", key)
+        if m:
+            seq, j, kb = m.groups()
+            # torch Sequential interleaves ReLUs: dense rank j -> index 2j
+            # (ref: pdrf/blurmodel.py:96-105)
+            sd[f"kernelsnet.{seq}.{2 * int(j)}."
+               f"{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+
+        # --- AWP + MAM -------------------------------------------------------
+        m = re.match(r"^\['params'\]\['awpnet'\]\['(sample|motion)_feature"
+                     r"_embed_(\d+)'\]\['(kernel|bias)'\]$", key)
+        if m:
+            kind, i, kb = m.groups()
+            sd[f"awpnet.{kind}_feature_embed_layer.{i}."
+               f"{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+        m = re.match(r"^\['params'\]\['awpnet'\]\['w_linear'\]"
+                     r"\['(kernel|bias)'\]$", key)
+        if m:
+            kb = m.group(1)
+            sd[f"awpnet.w_linear.{'weight' if kb == 'kernel' else 'bias'}"] \
+                = tt(_t(v) if kb == "kernel" else v)
+            continue
+        m = re.match(r"^\['params'\]\['awpnet'\]\['MAM'\]\['linear'\]"
+                     r"\['(kernel|bias)'\]$", key)
+        if m:
+            kb = m.group(1)
+            sd[f"awpnet.MAM.linear."
+               f"{'weight' if kb == 'kernel' else 'bias'}"] = \
+                tt(_t(v) if kb == "kernel" else v)
+            continue
+        m = re.match(r"^\['params'\]\['awpnet'\]\['MAM'\]\['Corr'\]"
+                     r"\['(conva|convb|convc|convn|convl)'\]\['kernel'\]$",
+                     key)
+        if m:
+            sd[f"awpnet.MAM.Corr.{m.group(1)}.weight"] = tt(_t(v)[..., None])
+            continue
+        if key == _k("params", "awpnet", "MAM", "Corr", "convd", "kernel"):
+            sd["awpnet.MAM.Corr.convd.0.weight"] = tt(_t(v)[..., None])
+            continue
+        m = re.match(r"^\['params'\]\['awpnet'\]\['MAM'\]\['Corr'\]"
+                     r"\['convd_bn'\]\['(scale|bias)'\]$", key)
+        if m:
+            which = "weight" if m.group(1) == "scale" else "bias"
+            sd[f"awpnet.MAM.Corr.convd.1.{which}"] = tt(v)
+            continue
+        m = re.match(r"^\['batch_stats'\]\['awpnet'\]\['MAM'\]\['Corr'\]"
+                     r"\['convd_bn'\]\['(mean|var)'\]$", key)
+        if m:
+            sd[f"awpnet.MAM.Corr.convd.1.running_{m.group(1)}"] = tt(v)
+            continue
+        if key == _k("params", "awpnet", "MAM", "Corr", "line_conv_att",
+                     "kernel"):
+            sd["awpnet.MAM.Corr.line_conv_att.weight"] = \
+                tt(v.T[..., None, None])
+            continue
+
+        unmapped.append(key)
+
+    if unmapped:
+        raise UnmappedKeysError(
+            f"cannot export model leaves to the reference layout: "
+            f"{sorted(unmapped)}")
+
+    if any(k.startswith("awpnet.") for k in sd):
+        # dead + bookkeeping weights the reference module owns
+        # (strict load_state_dict requires them)
+        c = sd["awpnet.w_linear.weight"].shape[1]       # W_mot
+        sd["awpnet.MAM.Corr.convd.1.num_batches_tracked"] = \
+            np.asarray(0, np.int64)
+        sd["awpnet.MAM.conv.0.weight"] = np.zeros((c, 2 * c, 1, 1),
+                                                  np.float32)
+        sd["awpnet.MAM.conv.1.weight"] = np.ones(c, np.float32)
+        sd["awpnet.MAM.conv.1.bias"] = np.zeros(c, np.float32)
+        sd["awpnet.MAM.conv.1.running_mean"] = np.zeros(c, np.float32)
+        sd["awpnet.MAM.conv.1.running_var"] = np.ones(c, np.float32)
+        sd["awpnet.MAM.conv.1.num_batches_tracked"] = \
+            np.asarray(0, np.int64)
+    return sd
+
+
+def export_crf_state_dict(crf_params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_crf_state_dict`: flax CRF params
+    (``{'tonemapping_rgb': ..., 'tonemapping_event': ...}``) to a reference
+    ``crf_state_dict`` (learn heads are Sequentials with ReLUs at odd
+    slots — ref: tonemapping.py:16-27)."""
+    import jax
+
+    flat = {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_leaves_with_path({"params": crf_params})}
+    sd: Dict[str, np.ndarray] = {}
+    unmapped = []
+    for key, v in flat.items():
+        m = re.match(r"^\['params'\]\['tonemapping_(rgb|event)'\]"
+                     r"\['linear_(\d+)'\]\['(kernel|bias)'\]$", key)
+        if not m:
+            unmapped.append(key)
+            continue
+        head, j, kb = m.groups()
+        sd[f"tonemapping_{head}.linear.{2 * int(j)}."
+           f"{'weight' if kb == 'kernel' else 'bias'}"] = \
+            np.asarray(_t(v) if kb == "kernel" else v, np.float32)
+    if unmapped:
+        raise UnmappedKeysError(
+            f"cannot export CRF leaves to the reference layout: "
+            f"{sorted(unmapped)}")
+    return sd
 
 
 def merge_into_variables(template_vars, flat_updates: Dict[str, np.ndarray],

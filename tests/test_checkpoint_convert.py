@@ -81,6 +81,49 @@ def test_unknown_keys_are_loud(ora):
         cc.convert_network_state_dict(sd)
 
 
+# keys the reference module owns but never uses in forward; the exporter
+# synthesizes them (shape/dtype must match, values need not)
+SYNTHESIZED = ("awpnet.MAM.conv.", "num_batches_tracked")
+
+
+@pytest.mark.parametrize("name", sorted(oc.VARIANTS))
+def test_export_reproduces_reference_state_dict(ora, name):
+    """convert -> merge -> export reproduces the recorded reference
+    network_state_dict key-for-key (exact values for live weights,
+    shape/dtype for dead/bookkeeping ones)."""
+    sd = group(ora, f"net_{name}/")
+    params, stats = cc.convert_network_state_dict(sd)
+    _, variables = oc.init_variant(name)
+    merged, _ = cc.merge_into_variables(
+        variables, dict(params, **stats), label=name)
+    out = cc.export_network_state_dict(merged)
+
+    # the recording drops nothing: every reference key must come back
+    assert sorted(out) == sorted(sd), (set(out) ^ set(sd))
+    for k in sd:
+        assert out[k].shape == sd[k].shape, k
+        if any(s in k for s in SYNTHESIZED):
+            assert out[k].dtype == sd[k].dtype, k
+        else:
+            np.testing.assert_array_equal(out[k], sd[k], err_msg=k)
+
+
+def test_export_crf_roundtrip(ora):
+    crf_sd = group(ora, "crf_sd/")
+    flat = cc.convert_crf_state_dict(crf_sd)
+
+    import jax
+
+    crf = oc.build_crf()
+    template = dict(crf.init(jax.random.PRNGKey(3), np.zeros((4, 3)),
+                             mode="init_all"))
+    merged, _ = cc.merge_into_variables(template, flat, label="crf")
+    out = cc.export_crf_state_dict(merged["params"])
+    assert sorted(out) == sorted(crf_sd), (set(out) ^ set(crf_sd))
+    for k in crf_sd:
+        np.testing.assert_array_equal(out[k], crf_sd[k], err_msg=k)
+
+
 def test_crf_conversion_forward(ora):
     crf_sd = group(ora, "crf_sd/")
     flat = cc.convert_crf_state_dict(crf_sd)

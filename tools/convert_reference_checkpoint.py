@@ -28,6 +28,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# honor an explicit JAX_PLATFORMS even when a sitecustomize pre-pins the
+# backend via jax.config (the env var alone is silently overridden there)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
