@@ -109,9 +109,15 @@ def convert_network_state_dict(sd: Dict[str, np.ndarray]
             continue
 
         # --- view embedding (plain table or table+MLP) --------------------
+        # the reference MLP variant inherits the table attribute flat on the
+        # module (ref: embedding.py:35-48); ours nests it as a 'table'
+        # submodule, so the destination depends on the embed type
         if key in ("kernelsnet.view_embed_module.img_embed",
                    "kernelsnet.img_embed.img_embed"):
-            params[_k("params", "view_embed", "img_embed")] = v
+            mlp_embed = any("view_embed_linears" in k for k in sd)
+            parts = (("params", "view_embed", "table", "img_embed")
+                     if mlp_embed else ("params", "view_embed", "img_embed"))
+            params[_k(*parts)] = v
             continue
         m = re.match(r"^kernelsnet\.(?:view_embed_module|img_embed)\."
                      r"view_embed_linears\.(\d+)\.(weight|bias)$", key)
@@ -270,8 +276,9 @@ def export_network_state_dict(variables) -> Dict[str, np.ndarray]:
                 tt(_t(v) if kb == "kernel" else v)
             continue
 
-        # --- view embedding ------------------------------------------------
-        if key == _k("params", "view_embed", "img_embed"):
+        # --- view embedding (the MLP variant nests the table: see import) --
+        if key in (_k("params", "view_embed", "img_embed"),
+                   _k("params", "view_embed", "table", "img_embed")):
             sd[f"kernelsnet.{ve}.img_embed"] = tt(v)
             continue
         m = re.match(r"^\['params'\]\['view_embed'\]\['linear_(\d+)'\]"

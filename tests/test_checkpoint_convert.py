@@ -85,6 +85,47 @@ def test_unknown_keys_are_loud(ora):
 # synthesizes them (shape/dtype must match, values need not)
 SYNTHESIZED = ("awpnet.MAM.conv.", "num_batches_tracked")
 
+# config corners the recorded oracles don't cover: the export->convert pair
+# must still be mutually inverse (torch-free; reference-key agreement for
+# the shared structures is pinned by the recorded-oracle tests above)
+EXTRA_VARIANTS = {
+    "rbk_mlp_embed": dict(kernel_type="RBK", kernel_ptnum=4,
+                          kernel_rbk_use_origin=True,
+                          kernel_img_embed_type="param_mlp",
+                          kernel_img_mlp_depth=3, kernel_img_mlp_embed=8),
+    "rbk_no_awp": dict(kernel_type="RBK", kernel_ptnum=3,
+                       kernel_rbk_use_origin=True, kernel_use_awp=False),
+    "dsk_deep": dict(kernel_type="DSK", kernel_ptnum=3,
+                     kernel_spatial_embed=2, kernel_depth_embed=2,
+                     kernel_num_hidden=4),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_VARIANTS))
+def test_export_convert_inverse_on_extra_configs(name):
+    import jax
+
+    from evdeblurnerf_tpu.models.system import (EvDeblurNeRF,
+                                                kernel_config_from_args)
+
+    args = oc.make_args(EXTRA_VARIANTS[name])
+    cfg = oc.make_cfg(args)
+    kcfg = kernel_config_from_args(args)
+    model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=oc.NUM_IMAGES,
+                         K=oc.K)
+    rays, rays_info = oc.make_inputs()
+    variables = dict(model.init(jax.random.PRNGKey(5), jax.random.PRNGKey(6),
+                                rays, rays_info, force_naive=False,
+                                return_pts0_rgb=True))
+    sd = cc.export_network_state_dict(variables)
+    params, stats = cc.convert_network_state_dict(sd)
+    merged, untouched = cc.merge_into_variables(
+        variables, dict(params, **stats), label=name)
+    assert not untouched
+    flat0 = oc.flatten(variables)
+    for k, v in oc.flatten(merged).items():
+        np.testing.assert_array_equal(v, flat0[k], err_msg=k)
+
 
 @pytest.mark.parametrize("name", sorted(oc.VARIANTS))
 def test_export_reproduces_reference_state_dict(ora, name):

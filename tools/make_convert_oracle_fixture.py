@@ -57,12 +57,19 @@ for name in sorted(oc.VARIANTS):
     for k, v in oc.flatten(merged).items():
         np.testing.assert_array_equal(v, flat[k], err_msg=f"{name}: {k}")
 
+    # the exporter's output must strict-load into the LIVE reference module
+    import torch as _torch
+
+    exported = cc.export_network_state_dict(merged)
+    nerf.load_state_dict({k: _torch.from_numpy(np.array(v, copy=True))
+                          for k, v in exported.items()}, strict=True)
+
     for k, v in sd.items():
         payload[f"net_{name}/{k}"] = v
     for k, v in flat.items():
         payload[f"exp_{name}/{k}"] = v
     print(f"{name}: {len(sd)} reference keys -> {len(got)} flax leaves, "
-          "round-trip exact")
+          "round-trip exact; export strict-loads into the reference")
 
 # CRF head (TonemappingTransform with a learned event head)
 import torch  # noqa: E402
