@@ -149,8 +149,9 @@ class LPIPSScorer:
                                             "alexnet-owt-*.pth"))
         lin_pth = os.path.join(os.path.dirname(__file__), "..", "..",
                                "tests", "goldens", "lpips_alex_lin.pth")
-        ref_lin = "/root/reference/networks/lpips/weights/v0.1/alex.pth"
-        lin = lin_pth if os.path.exists(lin_pth) else ref_lin
+        # a torch-format lin-head file outside the repo (e.g. an upstream
+        # LPIPS checkout's weights/v0.1/alex.pth) can be pointed at via env
+        lin = (os.environ.get("EVDEBLURNERF_LPIPS_LIN_PTH") or lin_pth)
         if not candidates or not os.path.exists(lin):
             return None
         try:

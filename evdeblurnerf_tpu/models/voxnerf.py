@@ -104,6 +104,13 @@ class VoxelNeRF(nn.Module):
         inv_size = 2.0 / (jnp.asarray(self.aabb[1]) - aabb0)
         return (pts - aabb0) * inv_size - 1.0
 
+    def _eval_bf16(self, is_train: bool) -> bool:
+        """One gate for the whole bf16 eval chain (interp arithmetic AND
+        the double-angle PE must toggle together); EVDN_EVAL_F32_INTERP=1
+        restores f32 eval arithmetic (A/B escape for quality validation)."""
+        return (self.table_bf16 and not is_train
+                and not os.environ.get("EVDN_EVAL_F32_INTERP"))
+
     def sample(self, pts, is_train=True):
         """World pts [..., 3] -> appearance features [..., app_dim]
         (ref: voxnerf.py:132-151, 203-208).
@@ -140,9 +147,7 @@ class VoxelNeRF(nn.Module):
                          and all(int(p.shape[0]) % n_m == 0
                                  for p in self.app_plane))
             if divisible:
-                compute_bf16 = (self.table_bf16 and not is_train
-                                and not os.environ.get(
-                                    "EVDN_EVAL_F32_INTERP"))
+                compute_bf16 = self._eval_bf16(is_train)
                 kernel = self.basis_mat.variables["params"]["kernel"]
                 feats = triplane.triplane_features_tp(
                     self.app_plane, self.app_line, xyz, kernel,
@@ -153,10 +158,7 @@ class VoxelNeRF(nn.Module):
                 return ACTIVATIONS[self.app_actfn](feats).reshape(
                     *shape, self.app_dim)
         if self.packed_sampling:
-            # EVDN_EVAL_F32_INTERP=1 restores f32 interpolation arithmetic
-            # at eval (A/B escape for quality validation)
-            compute_bf16 = (self.table_bf16 and not is_train
-                            and not os.environ.get("EVDN_EVAL_F32_INTERP"))
+            compute_bf16 = self._eval_bf16(is_train)
             planes, lines = self.app_plane, self.app_line
             if compute_bf16:
                 # cast BEFORE packing: halves the packed-table bytes the
@@ -227,8 +229,7 @@ class VoxelNeRF(nn.Module):
         # the double-angle recurrence — FMAs instead of 2m transcendentals
         # (~13 ms of sine fusions per eval chunk, tools/trace_eval.py); its
         # ~1e-5 f32 phase error vanishes under the bf16 rounding
-        da = (self.table_bf16 and not is_train
-              and not os.environ.get("EVDN_EVAL_F32_INTERP"))
+        da = self._eval_bf16(is_train)
         pts_embedded = positional_encoding(pts.reshape(R * S, 3),
                                            self.multires, double_angle=da)
         h = jnp.concatenate([fts.reshape(R * S, -1), pts_embedded], -1)

@@ -35,10 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.sharding import PartitionSpec as P
 
-try:  # jax >= 0.5 exposes shard_map at the top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from ..parallel.compat import shard_map_norep
 
 LANES = 128
 _BLOCK_ROWS = 1024
@@ -54,6 +51,9 @@ def _target_platform() -> str:
     """
     dev = jax.config.jax_default_device
     if dev is not None:
+        # jax also accepts a plain string here ('cpu', 'tpu:0', ...)
+        if isinstance(dev, str):
+            return dev.split(":")[0].lower()
         return dev.platform
     return jax.default_backend()
 
@@ -109,12 +109,9 @@ def _shmap_rows(fn, n_in, n_out, rows):
 
     def wrapped(*args):
         global _IN_SHARD_MAP
-        kwargs = dict(mesh=mesh, in_specs=(spec,) * n_in,
-                      out_specs=(spec,) * n_out if n_out > 1 else spec)
-        try:
-            inner = _shard_map(fn, check_vma=False, **kwargs)
-        except TypeError:  # older jax: the kwarg is named check_rep
-            inner = _shard_map(fn, check_rep=False, **kwargs)
+        inner = shard_map_norep(
+            fn, mesh=mesh, in_specs=(spec,) * n_in,
+            out_specs=(spec,) * n_out if n_out > 1 else spec)
         _IN_SHARD_MAP = True
         try:
             return inner(*args)

@@ -391,11 +391,9 @@ def tv_loss_app(planes, lines):
 # tensor-parallel sampling: tables sharded over a 2-D (data, model) mesh
 # ---------------------------------------------------------------------------
 
-try:  # jax >= 0.5 exposes shard_map at the top level
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
 from jax.sharding import PartitionSpec as _P
+
+from ..parallel.compat import shard_map_norep
 
 
 def triplane_features_tp(planes, lines, xyz, basis_kernel, mesh,
@@ -449,10 +447,6 @@ def triplane_features_tp(planes, lines, xyz, basis_kernel, mesh,
     tab3 = (_P(model_axis, None, None),) * 3
     vec2 = (_P(model_axis, None),) * 3
     in_specs = (_P(data_axis, None),) + tab3 + vec2 + vec2
-    kwargs = dict(mesh=mesh, in_specs=in_specs,
-                  out_specs=_P(data_axis, None))
-    try:
-        fn = _shard_map(local, check_vma=False, **kwargs)
-    except TypeError:  # older jax: the kwarg is named check_rep
-        fn = _shard_map(local, check_rep=False, **kwargs)
+    fn = shard_map_norep(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=_P(data_axis, None))
     return fn(xyz, *planes, *lines, *segs)

@@ -81,12 +81,15 @@ def build_model(args, llff):
 
 def _round_to_devices(n: int, n_dev: int, name: str,
                       grad_accum: int = 1) -> int:
-    """Round the batch down to a multiple of BOTH the mesh size and
-    grad_accum — rounding to the mesh alone could silently break the
-    N_rand %% grad_accum divisibility config._validate guaranteed."""
-    import math
+    """Round the batch so each grad-accum MICROBATCH divides the mesh.
 
-    quantum = math.lcm(n_dev, max(grad_accum, 1))
+    The jitted step reshapes the batch into [grad_accum, n/grad_accum]
+    microbatches and shards each one over the n_dev data axis, so the
+    quantum is n_dev * grad_accum (not their lcm: with n_dev=8,
+    grad_accum=2, n=1032 the lcm accepts 1032 but the 516-ray microbatch
+    doesn't divide 8 — the lane-kernel shard_map would silently disable
+    and GSPMD would all-gather around every pallas_call)."""
+    quantum = n_dev * max(grad_accum, 1)
     if n % quantum:
         new = max(quantum, (n // quantum) * quantum)
         print(f"[parallel] rounding {name} {n} -> {new} "
@@ -168,7 +171,19 @@ def run_video_render(args, llff, crf, variables, crf_params, chunk_fn, mesh,
 
 
 def train(args, max_iters: Optional[int] = None):
-    """Full training lifecycle; returns the final TrainState (for tests)."""
+    """Full training lifecycle; returns the final TrainState (for tests).
+
+    The tp/lane-kernel meshes are process-global routing state; clear them
+    on ANY exit so later traces in the same process (library users, tests)
+    don't shard over a mesh sized for a finished run."""
+    try:
+        return _train_impl(args, max_iters)
+    finally:
+        tp_ctx.set_tp_mesh(None)
+        lane_shuffle.set_mesh(None)
+
+
+def _train_impl(args, max_iters: Optional[int] = None):
     if args.events_threshold_pos is None or args.events_threshold_neg is None:
         args.events_threshold_pos = args.events_threshold
         args.events_threshold_neg = args.events_threshold

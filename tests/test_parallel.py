@@ -237,3 +237,54 @@ def test_tp_dp_step_matches_single_device():
     loss8, grads8 = _run_one_step(8, tp=(4, 2))
     assert np.isfinite(loss1)
     _assert_grads_close(loss1, grads1, loss8, grads8)
+
+
+@pytest.mark.fast
+def test_batch_rounding_keeps_microbatch_divisible():
+    """The rounding quantum is n_dev * grad_accum: each grad-accum
+    MICROBATCH is what the step shards over the data axis, so an
+    lcm-rounded batch (1032 with 8 devices x accum 2) would leave a
+    516-ray microbatch that does not divide the mesh."""
+    from evdeblurnerf_tpu.train.loop import _round_to_devices
+
+    n = _round_to_devices(1032, 8, "N_rand", grad_accum=2)
+    assert n % (8 * 2) == 0 and (n // 2) % 8 == 0, n
+    assert n == 1024
+    # already-divisible batches pass through untouched
+    assert _round_to_devices(1024, 8, "N_rand", grad_accum=2) == 1024
+    # never rounds to zero
+    assert _round_to_devices(3, 8, "N_rand", grad_accum=2) == 16
+
+
+@pytest.mark.fast
+def test_lane_kernel_platform_accepts_string_default_device():
+    """jax allows jax_default_device to be a plain string ('cpu',
+    'tpu:0'); the lane-kernel platform probe must not crash on it."""
+    from evdeblurnerf_tpu.ops import lane_shuffle
+
+    prev = jax.config.jax_default_device
+    try:
+        jax.config.update("jax_default_device", "cpu")
+        assert lane_shuffle._target_platform() == "cpu"
+        assert lane_shuffle.use_pallas() in (False, True)  # no crash
+        jax.config.update("jax_default_device", "tpu")
+        assert lane_shuffle._target_platform() == "tpu"
+    finally:
+        jax.config.update("jax_default_device", prev)
+
+
+@pytest.mark.fast
+def test_train_clears_global_meshes_on_failure(tmp_path):
+    """train() must clear the process-global tp/lane-kernel mesh routing
+    state on ANY exit, including an exception mid-setup."""
+    from evdeblurnerf_tpu.ops import lane_shuffle
+    from evdeblurnerf_tpu.parallel import tp as tp_ctx
+    from evdeblurnerf_tpu.train.loop import train
+
+    args = default_args(basedir=str(tmp_path), expname="boom",
+                        datadir=str(tmp_path / "nonexistent"),
+                        dataset_type="llff")
+    with pytest.raises(Exception):
+        train(args)
+    assert tp_ctx.get_tp() is None
+    assert lane_shuffle._MESH is None
