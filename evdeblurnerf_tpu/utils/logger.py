@@ -103,7 +103,11 @@ class Logger:
         path = os.path.join(d, f"{safe}_{step:08d}.mp4")
         try:
             imageio.mimwrite(path, frames8, fps=fps, quality=8)
-        except Exception:
+        except Exception as e:
+            if not getattr(Logger, "_warned_no_mp4", False):
+                Logger._warned_no_mp4 = True
+                print(f"[logger] mp4 encode unavailable ({type(e).__name__}:"
+                      f" {str(e)[:120]}); writing PNG frame dirs instead")
             framedir = path[:-4]
             os.makedirs(framedir, exist_ok=True)
             for i, fr in enumerate(frames8):
