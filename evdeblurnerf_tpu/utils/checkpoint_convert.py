@@ -32,7 +32,32 @@ import numpy as np
 
 __all__ = ["convert_network_state_dict", "convert_crf_state_dict",
            "export_network_state_dict", "export_crf_state_dict",
-           "merge_into_variables", "UnmappedKeysError"]
+           "merge_into_variables", "normalize_legacy_network_state_dict",
+           "UnmappedKeysError"]
+
+
+def normalize_legacy_network_state_dict(ckpt: dict):
+    """Migrate a legacy two-network checkpoint (deblur-nerf/DP-NeRF era:
+    ``network_fn_state_dict`` + ``network_fine_state_dict``) to the
+    current single ``network_state_dict`` layout, the way the reference's
+    ``smart_load_state_dict`` intends (ref: utils/misc.py:196-214 — its
+    legacy branch prefixes the two MLPs as mlp_coarse./mlp_fine.; note it
+    uses ``str.lstrip("module.")``, a charset strip, where a DataParallel
+    'module.' PREFIX strip is clearly meant — done properly here).
+
+    Returns the migrated network_state_dict, or None when ``ckpt`` is not
+    a legacy checkpoint."""
+    if "network_fn_state_dict" not in ckpt:
+        return None
+
+    def strip(k):
+        return k[len("module."):] if k.startswith("module.") else k
+
+    out = {f"mlp_coarse.{strip(k)}": v
+           for k, v in ckpt["network_fn_state_dict"].items()}
+    out.update({f"mlp_fine.{strip(k)}": v
+                for k, v in ckpt.get("network_fine_state_dict", {}).items()})
+    return out
 
 
 class UnmappedKeysError(ValueError):
@@ -196,8 +221,9 @@ def convert_network_state_dict(sd: Dict[str, np.ndarray]
 
     if unmapped:
         raise UnmappedKeysError(
-            "unrecognized reference network_state_dict keys (legacy "
-            "two-network checkpoints are not supported): "
+            "unrecognized reference network_state_dict keys (for legacy "
+            "two-network checkpoints run "
+            "normalize_legacy_network_state_dict first): "
             f"{sorted(unmapped)}")
     return params, stats
 

@@ -165,6 +165,32 @@ def test_export_crf_roundtrip(ora):
         np.testing.assert_array_equal(out[k], crf_sd[k], err_msg=k)
 
 
+def test_legacy_two_network_checkpoint_migrates(ora):
+    """deblur-nerf/DP-NeRF era checkpoints carry the two bare MLPs as
+    network_fn/fine_state_dict (some with DataParallel 'module.'
+    prefixes); normalization + conversion must land them on the same
+    leaves as a modern checkpoint's mlp_coarse./mlp_fine. keys."""
+    sd = group(ora, "net_nerf_rbk/")
+    fn = {k[len("mlp_coarse."):]: v for k, v in sd.items()
+          if k.startswith("mlp_coarse.")}
+    fine = {"module." + k[len("mlp_fine."):]: v for k, v in sd.items()
+            if k.startswith("mlp_fine.")}
+    assert fn and fine
+    legacy = cc.normalize_legacy_network_state_dict(
+        {"network_fn_state_dict": fn, "network_fine_state_dict": fine})
+    params, stats = cc.convert_network_state_dict(legacy)
+    assert not stats
+    expect = {k: v for k, v in group(ora, "exp_nerf_rbk/").items()
+              if "['renderer']" in k}
+    assert sorted(dict(params)) == sorted(expect)
+    for k in expect:
+        np.testing.assert_array_equal(params[k], expect[k], err_msg=k)
+
+    # non-legacy checkpoints pass through as None
+    assert cc.normalize_legacy_network_state_dict(
+        {"network_state_dict": sd}) is None
+
+
 def test_crf_conversion_forward(ora):
     crf_sd = group(ora, "crf_sd/")
     flat = cc.convert_crf_state_dict(crf_sd)

@@ -61,16 +61,25 @@ def main():
         args.events_threshold_neg = args.events_threshold
 
     ckpt = torch.load(cli.ref_ckpt, map_location="cpu", weights_only=False)
-    for need in ("network_state_dict", "crf_state_dict"):
-        if need not in ckpt:
-            raise SystemExit(
-                f"{cli.ref_ckpt}: no '{need}' — legacy two-network "
-                "checkpoints are not supported")
+    legacy = cc.normalize_legacy_network_state_dict(ckpt)
+    if legacy is not None:
+        # deblur-nerf/DP-NeRF era checkpoint: two bare MLPs, no kernel/CRF
+        print(f"legacy two-network checkpoint: migrated {len(legacy)} "
+              "tensors to mlp_coarse./mlp_fine. (no kernel/CRF to restore)")
+        ckpt["network_state_dict"] = legacy
+        ckpt.setdefault("crf_state_dict", {})
+    elif "network_state_dict" not in ckpt:
+        raise SystemExit(
+            f"{cli.ref_ckpt}: no 'network_state_dict' (and not a legacy "
+            "two-network checkpoint)")
     step = cli.step if cli.step is not None else int(
         ckpt.get("global_step", 0))
 
-    net_sd = {k: v.numpy() for k, v in ckpt["network_state_dict"].items()}
-    crf_sd = {k: v.numpy() for k, v in ckpt["crf_state_dict"].items()}
+    def _np(v):
+        return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+    net_sd = {k: _np(v) for k, v in ckpt["network_state_dict"].items()}
+    crf_sd = {k: _np(v) for k, v in ckpt.get("crf_state_dict", {}).items()}
     net_flat, stats_flat = cc.convert_network_state_dict(net_sd)
     crf_flat = cc.convert_crf_state_dict(crf_sd)
     print(f"converted {len(net_sd)} network + {len(crf_sd)} CRF tensors")
