@@ -476,6 +476,14 @@ def _validate(values: dict):
                 "(the jitted step reshapes the ray batch into grad_accum "
                 "equal microbatches; pick a divisible batch or "
                 "--grad_accum 1)")
+    # a typo'd stage name would otherwise silently zero the event loss
+    # (the train step gates on exact membership, like ref run_nerf.py:561-565)
+    bad = [s for s in (values.get("add_event_egm_stages") or ())
+           if s not in ("stage0", "stage1")]
+    if bad:
+        raise ValueError(
+            f"--add_event_egm_stages got {bad}; valid stages are "
+            "'stage0' (coarse render) and 'stage1' (fine render)")
 
 
 def default_args(**overrides) -> Args:

@@ -271,6 +271,44 @@ class Renderer(nn.Module):
             return jax.random.normal(key, shape) * self.cfg.raw_noise_std
         return None
 
+    def _unpack_rays(self, rays):
+        """[R, 3, 2] packed rays -> (rays_o, rays_d, viewdirs) with viewdir
+        normalization + NDC projection (ref: renderer.py:399-466); shared
+        by render() and the PBE stage-0 coarse_render()."""
+        cfg = self.cfg
+        rays_o, rays_d = rays[..., 0], rays[..., 1]
+        viewdirs = None
+        if cfg.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1,
+                                                keepdims=True)
+        if cfg.ndc:
+            rays_o, rays_d = get_ndc_rays(cfg.H, cfg.W, cfg.focal, 1.0,
+                                          rays_o, rays_d)
+        return rays_o, rays_d, viewdirs
+
+    def _resolve_perturb(self, perturb, is_train):
+        return (self.cfg.perturb if is_train else 0.0) \
+            if perturb is None else perturb
+
+    def _coarse_setup(self, k_strat, k_noise, rays_o, rays_d, is_train,
+                      perturb):
+        """Stratified coarse z-samples, world points, and sigma noise —
+        the common preamble of render_rays() and coarse_render().
+
+        ``perturb`` must already be resolved to a float (the fine pass's
+        ``det=(perturb == 0.0)`` needs the same resolved value — a None
+        slipping through makes it silently non-deterministic)."""
+        cfg = self.cfg
+        R = rays_o.shape[0]
+        assert perturb is not None
+        near = jnp.full((R, 1), cfg.near)
+        far = jnp.full((R, 1), cfg.far)
+        z_vals = self._sample_z(k_strat, R, near, far, perturb)
+        pts = (rays_o[..., None, :]
+               + rays_d[..., None, :] * z_vals[..., :, None])
+        noise = self._noise(k_noise, (R, cfg.N_samples - 1), is_train)
+        return z_vals, pts, noise
+
     # ------------------------------------------------------------------
     # core per-batch rendering (ref: renderer.py:129-264)
     # ------------------------------------------------------------------
@@ -284,16 +322,10 @@ class Renderer(nn.Module):
         """
         cfg = self.cfg
         R = rays_o.shape[0]
-        if perturb is None:
-            perturb = cfg.perturb if is_train else 0.0
-
+        perturb = self._resolve_perturb(perturb, is_train)
         k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
-        near = jnp.full((R, 1), cfg.near)
-        far = jnp.full((R, 1), cfg.far)
-        z_vals = self._sample_z(k_strat, R, near, far, perturb)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-
-        noise_c = self._noise(k_noise_c, (R, cfg.N_samples - 1), is_train)
+        z_vals, pts, noise_c = self._coarse_setup(
+            k_strat, k_noise_c, rays_o, rays_d, is_train, perturb)
         ret = {}
 
         if cfg.mode == "c2f":
@@ -375,13 +407,7 @@ class Renderer(nn.Module):
         applying NDC projection and viewdir normalization
         (ref: renderer.py:399-466)."""
         cfg = self.cfg
-        rays_o, rays_d = rays[..., 0], rays[..., 1]
-        viewdirs = None
-        if cfg.use_viewdirs:
-            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        if cfg.ndc:
-            rays_o, rays_d = get_ndc_rays(cfg.H, cfg.W, cfg.focal, 1.0,
-                                          rays_o, rays_d)
+        rays_o, rays_d, viewdirs = self._unpack_rays(rays)
         ret = self.render_rays(key, rays_o, rays_d, viewdirs,
                                is_train=is_train, perturb=perturb)
         if cfg.use_awp:
@@ -392,22 +418,11 @@ class Renderer(nn.Module):
         """Single coarse pass returning (rgb, per-sample features); used by
         the PBE kernel's stage-0 (ref: renderer.py:468-592)."""
         cfg = self.cfg
-        rays_o, rays_d = rays[..., 0], rays[..., 1]
-        viewdirs = None
-        if cfg.use_viewdirs:
-            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        if cfg.ndc:
-            rays_o, rays_d = get_ndc_rays(cfg.H, cfg.W, cfg.focal, 1.0,
-                                          rays_o, rays_d)
-        R = rays_o.shape[0]
-        if perturb is None:
-            perturb = cfg.perturb if is_train else 0.0
+        rays_o, rays_d, viewdirs = self._unpack_rays(rays)
+        perturb = self._resolve_perturb(perturb, is_train)
         k_strat, k_noise = jax.random.split(key)
-        near = jnp.full((R, 1), cfg.near)
-        far = jnp.full((R, 1), cfg.far)
-        z_vals = self._sample_z(k_strat, R, near, far, perturb)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-        noise = self._noise(k_noise, (R, cfg.N_samples - 1), is_train)
+        z_vals, pts, noise = self._coarse_setup(
+            k_strat, k_noise, rays_o, rays_d, is_train, perturb)
         if cfg.mode == "c2f":
             ft = self.mlp_coarse.sample(pts, is_train)
             rgb, _, _, _, feat = self.mlp_coarse(

@@ -224,9 +224,12 @@ class EvDeblurNeRF(nn.Module):
             ret = self.renderer.render(k_render, rays, is_train=True)
             rgb = ret["rgb_map"]
             rgb1 = ret.get("rgb0")
-            other_tensors["stage1_rgb_pts0"] = rgb
-            if rgb1 is not None:
-                other_tensors["stage1_rgb1_pts0"] = rgb1
+            if return_pts0_rgb:
+                # in the naive phase the "pts0" views ARE the render (no
+                # kernel expansion); gate on the flag like the kernel branch
+                other_tensors["stage1_rgb_pts0"] = rgb
+                if rgb1 is not None:
+                    other_tensors["stage1_rgb1_pts0"] = rgb1
             other_loss.update(self._tv_loss())
             return rgb, rgb1, other_loss, other_tensors
 
@@ -274,6 +277,10 @@ class EvDeblurNeRF(nn.Module):
             # AWP fine recomposition (ref: renderer.py:310-347)
             ccw_fine = self.awpnet(ret["depth_feature"], ret["z_vals"],
                                    ret["rays_d"], img_embed, is_train=True)
+            # reference-literal, replicated on purpose (ref: renderer.py:
+            # 316-317) — provably a no-op: awpnet already returns weights
+            # normalized to sum 1, and w*(1+s)/sum(w*(1+s)) == w in value
+            # AND gradient, so ccw_fine_scale is not a live hyperparameter
             ccw_fine = ccw_fine + ccw_fine * self.awpnet.ccw_fine_scale
             ccw_fine = ccw_fine / jnp.sum(ccw_fine, -1, keepdims=True)
             other_tensors["rgb_awp"] = jnp.sum(

@@ -140,6 +140,14 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                        if args.events_threshold_pos is not None
                        else args.events_threshold)
     egm_stages = tuple(args.add_event_egm_stages or ())
+    if (getattr(args, "add_event_egm", False) and "stage1" not in egm_stages
+            and args.N_importance <= 0):
+        # 'stage0' supervises the coarse render of the dual-stage pass,
+        # which doesn't exist with N_importance=0 — the reference is
+        # equally silent here (run_nerf.py:560-564); we at least say it
+        print("WARNING: --add_event_egm with stages", list(egm_stages),
+              "and N_importance=0 — no stage matches, the event loss "
+              "will be identically zero (add 'stage1' or N_importance>0)")
     add_bii = args.tone_mapping_events_add_bii
     color_events = bool(args.event_egm_use_colorevents)
     clip_norm = args.clip_grads_norm
@@ -150,7 +158,9 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
         return crf_module.apply({"params": params["crf"]}, x, mode=mode,
                                 skip_learn_crf=sw.skip_learn_crf, **kw)
 
-    remat = bool(getattr(args, "remat", True))
+    # fallback matches the CLI default (config.py: remat=False — measured
+    # strictly worse than --grad_accum 2 on v5e, PERF_NOTES.md)
+    remat = bool(getattr(args, "remat", False))
 
     def nerf_apply(params, batch_stats, key, rays, rays_info, force_naive):
         def fwd(params, batch_stats, key, rays, rays_info):
@@ -166,14 +176,14 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
             return out, batch_stats
 
         if remat:
-            # rematerialize render activations in the backward pass: fits
-            # the full paper-scale step in one chip's HBM. The tri-plane
-            # gather outputs are saved (checkpoint_name in voxnerf.sample) —
-            # gathers are the dominant cost (~20 ns/row floor) and must not
-            # be recomputed; the matmul/elementwise work replays cheaply.
-            # note: save_only_these_names("triplane_feats") was measured to
-            # exceed v5e HBM by 1.2G at paper scale; prefer --grad_accum 2
-            # with --no-remat over finer policies (PERF_NOTES.md)
+            # rematerialize EVERYTHING in the backward pass (fits the full
+            # paper-scale step in one chip's HBM) — including the tri-plane
+            # gathers, which is why this is measured strictly worse than
+            # --grad_accum 2 (gathers are the dominant cost, ~20 ns/row
+            # floor, and replay in the backward). The finer alternative,
+            # save_only_these_names("triplane_feats") (the checkpoint_name
+            # in voxnerf.sample exists for it), was measured to exceed v5e
+            # HBM by 1.2G at paper scale (PERF_NOTES.md).
             fwd = jax.checkpoint(
                 fwd, policy=jax.checkpoint_policies.nothing_saveable)
         return fwd(params, batch_stats, key, rays, rays_info)
@@ -194,7 +204,11 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
 
     def loss_fn(params, batch_stats, key, batch, ev_batch, sw,
                 force_naive: bool, events_active: bool):
-        k_img, k_ev_start, k_ev_end = jax.random.split(key, 3)
+        # three-way split kept although only two keys are consumed (the two
+        # event renders were merged into one 2x-batched render): dropping
+        # the third key would shift the whole RNG stream and invalidate
+        # recorded training trajectories for no benefit
+        k_img, k_ev_start, _ = jax.random.split(key, 3)
         aux: Dict[str, jnp.ndarray] = {}
 
         rays_info = ({k: batch[k] for k in
@@ -232,6 +246,10 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                 pts0_loss = pts0_loss + img2mse(
                     apply_crf(params, extra_tensor[name], sw), pts0_target)
         aux["pts0_loss"] = pts0_loss
+        # reference-literal quirk, replicated on purpose: the warmup-phase
+        # "psnr" is mse2psnr of a SUM of up to three MSE terms (up to
+        # 10*log10(3) dB below a true PSNR) — exactly what the reference
+        # prints during i <= blur_loss_after (ref: run_nerf.py:488-489)
         aux["pts0_psnr"] = mse2psnr(pts0_loss)
         loss = sw.loss_a * loss + sw.w_pts0 * pts0_loss
 
