@@ -107,3 +107,20 @@ def test_default_args_and_unknown_flag():
     assert args.N_rand == 128
     with pytest.raises(ValueError):
         config.default_args(not_a_flag=1)
+
+
+def test_egm_stage_names_validated():
+    """A typo'd --add_event_egm_stages value must fail at parse time, not
+    silently zero the event loss (the step gates on exact membership, like
+    ref run_nerf.py:561-565)."""
+    args = config.default_args(add_event_egm_stages=["stage0", "stage1"])
+    assert tuple(args.add_event_egm_stages) == ("stage0", "stage1")
+    with pytest.raises(ValueError, match="add_event_egm_stages"):
+        config.default_args(add_event_egm_stages=["stage_1"])
+
+
+def test_grad_accum_must_divide_batch():
+    """N_rand not divisible by grad_accum is a config error with a clear
+    message (the jitted step reshapes into equal microbatches)."""
+    with pytest.raises(ValueError, match="grad_accum"):
+        config.default_args(N_rand=129, grad_accum=2)
