@@ -55,6 +55,11 @@ FLAG_SPEC = [
     # tables (+ grads + Adam moments) over this many devices for scene grids
     # beyond one chip's HBM; 1 = pure data parallelism (parallel/tp.py)
     _flag("tp_model_parallel", int, 1),
+    # multi-host (one process per TPU host): initialize the jax distributed
+    # runtime before touching the backend; coordination comes from the pod
+    # environment or EVDN_COORDINATOR/EVDN_NUM_PROCESSES/EVDN_PROCESS_ID
+    # (parallel/multihost.py)
+    _bool("multihost"),
     _flag("torch_hub_dir", str, ""),
     _bool("no_log_grads_norm"),
     _flag("clip_grads_norm", float, None),

@@ -42,10 +42,11 @@ class Prefetcher:
     """
 
     def __init__(self, make_batch: Callable[[], dict], buffer_size: int = 2,
-                 device=None, sharding=None):
+                 device=None, sharding=None, put_fn=None):
         self._make_batch = make_batch
         self._device = device
         self._sharding = sharding
+        self._put_fn = put_fn
         self._queue: "queue.Queue" = queue.Queue(maxsize=buffer_size)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
@@ -57,7 +58,12 @@ class Prefetcher:
             while not self._stop.is_set():
                 batch = self._make_batch()
                 target = self._sharding or self._device
-                if target is not None:
+                if self._put_fn is not None:
+                    # multi-host: device_put can't place onto a sharding
+                    # that spans other processes' devices; the put_fn
+                    # builds global arrays instead (parallel/multihost.py)
+                    batch = self._put_fn(batch)
+                elif target is not None:
                     batch = jax.device_put(batch, target)
                 elif jax.default_backend() != "cpu":
                     batch = jax.device_put(batch)

@@ -36,6 +36,17 @@ def build_chunk_renderer(model, mesh=None):
         # back to a replicated copy per render
         jit_kwargs["in_shardings"] = (None,
                                       NamedSharding(mesh, P("data")))
+        if jax.process_count() > 1:
+            # multi-host eval: outputs come back replicated so every
+            # process can np.asarray its local copy (the per-chunk
+            # all-gather is noise next to the render itself), and host
+            # ray chunks become global arrays before entering the jit
+            from ..parallel import multihost as _mh
+
+            jit_kwargs["out_shardings"] = NamedSharding(mesh, P())
+            inner = jax.jit(render_chunk, **jit_kwargs)
+            return lambda variables, rays: inner(
+                variables, _mh.put_global(rays, mesh))
     return jax.jit(render_chunk, **jit_kwargs)
 
 

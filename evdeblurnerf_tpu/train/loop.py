@@ -24,6 +24,7 @@ from ..models.system import EvDeblurNeRF, kernel_config_from_args
 from ..models.tonemapping import TonemappingTransform
 from ..ops import lane_shuffle
 from ..parallel import (batch_sharding, create_mesh, replicated_sharding)
+from ..parallel import multihost as mh_ctx
 from ..parallel import tp as tp_ctx
 from ..utils.logger import Logger
 from ..utils.metrics import compute_img_metric
@@ -134,6 +135,10 @@ def run_test_renders(args, llff, model, crf, variables, crf_params,
         v = compute_img_metric(rgbs, gt, metric=name)
         if v is not None:
             metrics[f"test/{name}"] = v
+    if not mh_ctx.is_primary():
+        # multi-host: all processes joined the SPMD render above; files,
+        # images and the metrics log belong to process 0
+        return metrics
     logger.scalars(metrics, step)
 
     testdir = os.path.join(expdir, f"testset_{step:06d}")
@@ -198,11 +203,19 @@ def _train_impl(args, max_iters: Optional[int] = None):
     llff, ev = build_datasets(args)
     cfg, kcfg, model, crf = build_model(args, llff)
 
+    # Under multi-host training (parallel/multihost.py; enabled by calling
+    # multihost.initialize() before train, e.g. via --multihost) every
+    # process executes the same SPMD program; host side effects (files,
+    # logging, prints) belong to process 0 only.
+    primary = mh_ctx.is_primary()
+    multiproc = mh_ctx.is_multiprocess()
+
     expdir = os.path.join(args.basedir, args.expname)
     os.makedirs(expdir, exist_ok=True)
-    write_args_txt(args, os.path.join(expdir, "args.txt"))
-    if args.config and os.path.exists(args.config):
-        shutil.copyfile(args.config, os.path.join(expdir, "config.txt"))
+    if primary:
+        write_args_txt(args, os.path.join(expdir, "args.txt"))
+        if args.config and os.path.exists(args.config):
+            shutil.copyfile(args.config, os.path.join(expdir, "config.txt"))
 
     # mesh + batch sizes; the lane kernels shard over the same mesh
     # (shard_map, no GSPMD replication around pallas_call). With
@@ -210,6 +223,13 @@ def _train_impl(args, max_iters: Optional[int] = None):
     # voxel tables (+ their Adam moments) shard over the model axis
     # (parallel/tp.py) — capacity for grids beyond one chip's HBM.
     tp_k = max(1, int(getattr(args, "tp_model_parallel", 1) or 1))
+    if tp_k > 1 and multiproc:
+        raise NotImplementedError(
+            "--tp_model_parallel with multi-host training is not supported: "
+            "checkpointing assumes the state is addressable from the "
+            "primary process, which component-sharded tables spanning "
+            "hosts are not. Train data-parallel across hosts (the voxel "
+            "tables replicate), or tensor-parallel on a single host.")
     if tp_k > 1:
         n_total = len(jax.devices())
         if n_total % tp_k != 0:
@@ -284,8 +304,8 @@ def _train_impl(args, max_iters: Optional[int] = None):
     logger = Logger(log_dir=args.tbdir or args.basedir, expname=args.expname,
                     use_wandb=not args.no_wandb and not args.render_only,
                     use_tensorboard=args.use_tensorboard, wandb_id=wandb_id,
-                    args=args)
-    if logger.wandb_id is not None:
+                    args=args, enabled=primary)
+    if logger.wandb_id is not None and primary:
         with open(wandb_id_path, "w") as f:
             json.dump({"wandb_id": logger.wandb_id}, f)
 
@@ -294,6 +314,11 @@ def _train_impl(args, max_iters: Optional[int] = None):
     data_shard = batch_sharding(mesh)
     if tp_k > 1:
         state = tp_ctx.shard_state_tp(state, mesh)
+    elif multiproc:
+        # device_put can't target devices of other processes; build
+        # global replicated arrays instead (state is host-identical on
+        # every process: same seed, same restored checkpoint)
+        state = mh_ctx.replicate_global(state, mesh)
     else:
         state = jax.device_put(state, repl)
 
@@ -311,26 +336,27 @@ def _train_impl(args, max_iters: Optional[int] = None):
     if args.render_only:
         poses = llff.test_poses if args.render_test else llff.render_poses
         name = "test" if args.render_test else "path"
-        outdir = os.path.join(expdir, f"renderonly_{name}_{start:06d}")
-        ver = 0
-        while os.path.exists(outdir + (f"_ver{ver}" if ver else "")):
-            ver += 1
-        outdir = outdir + (f"_ver{ver}" if ver else "")
-        os.makedirs(outdir)
         rgbs, depths = render_poses(eval_variables(state), chunk_fn, poses,
                                     llff.h, llff.w, llff.K,
                                     chunk=args.chunk,
                                     render_factor=args.render_factor,
-                                    mesh=mesh, verbose=True)
+                                    mesh=mesh, verbose=primary)
         rgbs = apply_crf_host(crf, state.params["crf"], rgbs,
                               skip_learn_crf=False)
-        import imageio.v2 as imageio
+        if primary:
+            outdir = os.path.join(expdir, f"renderonly_{name}_{start:06d}")
+            ver = 0
+            while os.path.exists(outdir + (f"_ver{ver}" if ver else "")):
+                ver += 1
+            outdir = outdir + (f"_ver{ver}" if ver else "")
+            os.makedirs(outdir)
+            import imageio.v2 as imageio
 
-        for i in range(rgbs.shape[0]):
-            imageio.imwrite(os.path.join(outdir, f"{i:03d}.png"),
-                            to8b(rgbs[i]))
-        np.save(os.path.join(outdir, "disp.npy"), depths)
-        logger.video(f"renderonly/{name}", rgbs, start)
+            for i in range(rgbs.shape[0]):
+                imageio.imwrite(os.path.join(outdir, f"{i:03d}.png"),
+                                to8b(rgbs[i]))
+            np.save(os.path.join(outdir, "disp.npy"), depths)
+            logger.video(f"renderonly/{name}", rgbs, start)
         logger.close()
         return state
 
@@ -358,15 +384,16 @@ def _train_impl(args, max_iters: Optional[int] = None):
 
     # prefetch pipelines
     img_iter = sampler
+    put_fn = mh_ctx.batch_put_fn(mesh) if multiproc else None
     img_prefetch = Prefetcher(lambda: llff.batch(next(img_iter)),
-                              sharding=data_shard)
+                              sharding=data_shard, put_fn=put_fn)
     ev_prefetch = None
     if args.use_events and args.add_event_egm:
         ev_sampler = RandomEventSampler(len(ev), args.events_N_rand,
                                         seed=args.seed)
         ev_iter = endless(lambda: iter(ev_sampler))
         ev_prefetch = Prefetcher(lambda: ev.batch(next(ev_iter)),
-                                 sharding=data_shard)
+                                 sharding=data_shard, put_fn=put_fn)
 
     N_iters = args.N_iters if max_iters is None else min(args.N_iters,
                                                          start + max_iters)
@@ -414,7 +441,7 @@ def _train_impl(args, max_iters: Optional[int] = None):
                 jax.block_until_ready(aux["loss"])
                 jax.profiler.stop_trace()
 
-            if i % args.i_print == 0 or is_last:
+            if (i % args.i_print == 0 or is_last) and primary:
                 loss = float(aux["loss"])
                 psnr = float(aux["psnr"] if i > args.blur_loss_after
                              else aux.get("pts0_psnr", aux["psnr"]))
@@ -425,9 +452,10 @@ def _train_impl(args, max_iters: Optional[int] = None):
                     {f"train/{k}": float(v) for k, v in aux.items()
                      if np.ndim(v) == 0}, i)
 
-            if (i % args.i_weights == 0 and i > 0) or is_last:
+            if ((i % args.i_weights == 0 and i > 0) or is_last) and primary:
                 # keyed by the post-update step count so resume continues
-                # exactly where training left off
+                # exactly where training left off. Multi-host: the state is
+                # fully replicated, so the primary's device_get is complete.
                 ckpt.save(int(state.step), jax.device_get(state),
                           force=is_last)
             if (i % args.i_testset == 0 and i > 0) or is_last:

@@ -22,14 +22,22 @@ from .misc import to8b
 class Logger:
     def __init__(self, log_dir: str, expname: str, use_wandb: bool = False,
                  use_tensorboard: bool = False, wandb_id: Optional[str] = None,
-                 args=None):
+                 args=None, enabled: bool = True):
+        """``enabled=False`` turns every write into a no-op — non-primary
+        processes under multi-host training construct a disabled logger so
+        the loop code stays branch-free (parallel/multihost.py)."""
+        self.enabled = enabled
         self.expname = expname
         self.dir = os.path.join(log_dir or ".", expname)
+        self._t0 = time.time()
+        self._tb = None
+        self._wandb = None
+        self._jsonl = None
+        if not enabled:
+            return
         os.makedirs(self.dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.dir, "metrics.jsonl"), "a")
-        self._t0 = time.time()
 
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -59,6 +67,8 @@ class Logger:
         return self._wandb.id if self._wandb is not None else None
 
     def scalar(self, tag: str, value, step: int):
+        if not self.enabled:
+            return
         rec = {"tag": tag, "value": float(value), "step": int(step),
                "t": round(time.time() - self._t0, 3)}
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -73,6 +83,8 @@ class Logger:
 
     def image(self, tag: str, img: np.ndarray, step: int):
         """img: [H, W, 3] float in [0,1] or uint8."""
+        if not self.enabled:
+            return
         import imageio.v2 as imageio
 
         img8 = np.asarray(img)
@@ -88,6 +100,8 @@ class Logger:
     def video(self, tag: str, frames: np.ndarray, step: int, fps: int = 30):
         """frames: [T, H, W, 3]; pads to even dims for ffmpeg
         (ref: utils/logger.py video path)."""
+        if not self.enabled:
+            return
         import imageio.v2 as imageio
 
         frames8 = np.asarray(frames)
@@ -114,6 +128,8 @@ class Logger:
                 imageio.imwrite(os.path.join(framedir, f"{i:04d}.png"), fr)
 
     def histogram(self, tag: str, values, step: int):
+        if not self.enabled:
+            return
         values = np.asarray(values).ravel()
         rec = {"tag": tag + "/hist", "step": int(step),
                "mean": float(values.mean()), "std": float(values.std()),
@@ -123,13 +139,15 @@ class Logger:
             self._tb.add_histogram(tag, values, step)
 
     def flush(self):
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self):
         self.flush()
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

@@ -20,6 +20,15 @@ from evdeblurnerf_tpu.train.loop import train
 
 def main():
     args = parse_args()
+    if getattr(args, "multihost", False):
+        # must run before anything touches a backend (jax.devices/jit)
+        from evdeblurnerf_tpu.parallel import multihost
+
+        multihost.initialize()
+        if not multihost.is_primary():
+            import sys
+
+            sys.stdout = open(os.devnull, "w")  # side-effect-free workers
     print("RANDOM SEED", args.seed)
     train(args)
 
