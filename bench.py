@@ -210,9 +210,53 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
     }
 
 
+def _wait_for_backend():
+    """Block until a JAX backend actually answers, with a bounded deadline.
+
+    On a sick remote-TPU tunnel ``jax.devices()`` hangs indefinitely (it
+    has no client-side timeout), which would wedge the whole bench run.
+    Probe the backend in a subprocess with a per-attempt timeout and retry
+    until ``BENCH_BACKEND_DEADLINE_S`` (default 30 min) elapses; exit
+    non-zero with a diagnostic instead of hanging or printing a number
+    that was never measured.
+    """
+    import os
+    import subprocess
+    import sys
+
+    deadline = float(os.environ.get("BENCH_BACKEND_DEADLINE_S", 1800))
+    attempt_timeout = float(os.environ.get("BENCH_BACKEND_PROBE_S", 150))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=attempt_timeout)
+            if proc.returncode == 0:
+                plat = proc.stdout.strip().splitlines()[-1]
+                print(f"[bench] backend up: {plat} "
+                      f"(attempt {attempt})", file=sys.stderr)
+                return
+            err = proc.stderr.strip()[-500:]
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {attempt_timeout:.0f}s"
+        elapsed = time.monotonic() - t0
+        if elapsed > deadline:
+            print(f"[bench] no backend after {elapsed:.0f}s "
+                  f"({attempt} probes); last error: {err}", file=sys.stderr)
+            raise SystemExit(3)
+        print(f"[bench] backend probe {attempt} failed ({err}); "
+              f"retrying ({elapsed:.0f}/{deadline:.0f}s)", file=sys.stderr)
+        time.sleep(min(60, attempt_timeout / 2))
+
+
 def main():
     import os
 
+    _wait_for_backend()
     res = run(debug=bool(os.environ.get("BENCH_DEBUG")))
     print(json.dumps({
         "metric": "train_rays_per_sec_full_step",
