@@ -235,7 +235,7 @@ def _wait_for_backend():
                 [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
                 capture_output=True, text=True, timeout=attempt_timeout)
-            if proc.returncode == 0:
+            if proc.returncode == 0 and proc.stdout.strip():
                 plat = proc.stdout.strip().splitlines()[-1]
                 print(f"[bench] backend up: {plat} "
                       f"(attempt {attempt})", file=sys.stderr)

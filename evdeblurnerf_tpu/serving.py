@@ -109,6 +109,10 @@ class ServingRenderer:
 
     def __init__(self, exported, meta: dict):
         self._exported = exported
+        # jit once: a bare exported.call per chunk re-dispatches eagerly
+        # (hashing the whole serialized module each call); jitted it is
+        # one cached executable and chunks pipeline asynchronously
+        self._call = jax.jit(exported.call)
         self.meta = dict(meta)
         self.chunk = int(meta["chunk"])
         self.platforms = tuple(meta.get("platforms", ()))
@@ -120,7 +124,7 @@ class ServingRenderer:
                 f"this artifact renders fixed chunks of shape "
                 f"({self.chunk}, 3, 2); got {tuple(rays.shape)} — pad or "
                 f"re-export with a different --export_chunk")
-        return self._exported.call(rays)
+        return self._call(rays)
 
     def render_poses(self, poses, H: Optional[int] = None,
                      W: Optional[int] = None, K=None,
@@ -147,23 +151,30 @@ def export_experiment(args, out_path: str, chunk: int = 32768) -> dict:
     the rgb CRF, and writes the artifact. Returns the header metadata.
     Used by ``tools/export_renderer.py``.
     """
-    from .data.llff import RandomRaySampler
-    from .train.checkpoint import CheckpointManager
-    from .train.loop import build_datasets, build_model
-    from .train.optim import build_optimizer
-    from .train.state import create_train_state
+    import copy
 
-    llff, _ = build_datasets(args)
+    from .train.checkpoint import CheckpointManager
+    from .train.loop import build_datasets, build_initial_state, build_model
+
+    if (args.events_threshold_pos is None
+            or args.events_threshold_neg is None):
+        args = copy.copy(args)
+        args.events_threshold_pos = args.events_threshold
+        args.events_threshold_neg = args.events_threshold
+
+    # only the frame dataset is needed (camera/AABB/near-far); skip the
+    # event-stream preprocessing + EDI prior an events experiment would
+    # otherwise replay at export time
+    dargs = copy.copy(args)
+    dargs.use_events = False
+    llff, _ = build_datasets(dargs)
     _, _, model, crf = build_model(args, llff)
 
-    init_batch = llff.batch(next(iter(
-        RandomRaySampler(llff.n_rays, args.N_rand, seed=args.seed))))
-    rays_info = {k: init_batch[k] for k in
-                 ("images_idx", "rays_x", "rays_y", "poses")}
-    tx = build_optimizer(args.lrate, args.lrate_decay)
-    state = create_train_state(model, crf, tx, jax.random.PRNGKey(args.seed),
-                               init_batch["rays"], rays_info,
-                               crf_identity_prefit=False)
+    # the restore template must be built exactly as training built it
+    # (optimizer chain structure included); prefit values are irrelevant —
+    # the checkpoint overwrites them — so skip the CRF identity pre-fit
+    state, _ = build_initial_state(args, llff, model, crf,
+                                   crf_identity_prefit=False)
 
     ckpt_dir = (args.ft_path if args.ft_path
                 else os.path.join(args.basedir, args.expname, "checkpoints"))

@@ -130,7 +130,13 @@ def _crf_fn(crf_module, skip_learn_crf):
 def apply_crf_host(crf_module, crf_params, rgbs, skip_learn_crf=False):
     """Apply the rgb CRF to eval renders (ref: run_nerf.py:660). The jitted
     fn is cached per (module, skip) — a fresh ``jax.jit(lambda ...)`` per
-    call would retrace and recompile at every testset/video cadence."""
+    call would retrace and recompile at every testset/video cadence.
+
+    Params are pulled to host first so this stays process-LOCAL under
+    multi-host training: the primary calls it alone (train/loop.py), and a
+    jit over process-spanning global arrays would require every process to
+    participate."""
+    crf_params = jax.device_get(crf_params)
     return np.asarray(_crf_fn(crf_module, skip_learn_crf)(crf_params, rgbs))
 
 

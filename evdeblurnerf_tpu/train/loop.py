@@ -126,6 +126,11 @@ def run_test_renders(args, llff, model, crf, variables, crf_params,
     rgbs, depths = render_poses(variables, chunk_fn, llff.test_poses,
                                 llff.h, llff.w, llff.K,
                                 chunk=args.chunk, mesh=mesh)
+    if not mh_ctx.is_primary():
+        # multi-host: only the SPMD render above needs every process; the
+        # CRF, metric stack (incl. LPIPS), files, images and the metrics
+        # log belong to process 0 (apply_crf_host is process-local)
+        return {}
     rgbs = apply_crf_host(crf, crf_params, rgbs,
                           skip_learn_crf=skip_learn_crf)
     gt = np.asarray(llff.test_images)
@@ -135,10 +140,6 @@ def run_test_renders(args, llff, model, crf, variables, crf_params,
         v = compute_img_metric(rgbs, gt, metric=name)
         if v is not None:
             metrics[f"test/{name}"] = v
-    if not mh_ctx.is_primary():
-        # multi-host: all processes joined the SPMD render above; files,
-        # images and the metrics log belong to process 0
-        return metrics
     logger.scalars(metrics, step)
 
     testdir = os.path.join(expdir, f"testset_{step:06d}")
@@ -167,12 +168,49 @@ def run_video_render(args, llff, crf, variables, crf_params, chunk_fn, mesh,
                                 llff.h, llff.w, llff.K,
                                 chunk=args.chunk,
                                 render_factor=args.render_factor, mesh=mesh)
+    if not mh_ctx.is_primary():
+        return rgbs, depths
     rgbs = apply_crf_host(crf, crf_params, rgbs,
                           skip_learn_crf=skip_learn_crf)
     logger.video("video/rgb", rgbs, step)
     disps = np.stack([depth_colormap(d) / 255.0 for d in depths])
     logger.video("video/disp", disps, step)
     return rgbs, depths
+
+
+def build_initial_state(args, llff, model, crf, crf_identity_prefit=None):
+    """Fresh TrainState + optimizer exactly as training constructs them.
+
+    This is also the checkpoint-restore TEMPLATE: anything restoring a
+    training checkpoint (resume, ``--ft_path``, serving export) must build
+    the optimizer the same way — ``--colornet_weightdecay`` prepends
+    ``optax.add_decayed_weights`` and changes the opt_state tree structure.
+    Returns ``(state, tx)``.
+    """
+    init_batch = llff.batch(next(iter(
+        RandomRaySampler(llff.n_rays, args.N_rand, seed=args.seed))))
+    rays_info = {k: init_batch[k] for k in
+                 ("images_idx", "rays_x", "rays_y", "poses")}
+    key = jax.random.PRNGKey(args.seed)
+
+    if crf_identity_prefit is None:
+        crf_identity_prefit = args.tone_mapping_learn_init_identity
+    tx_probe = build_optimizer(args.lrate, args.lrate_decay,
+                               args.lrate_warmup_iters,
+                               args.lrate_warmup_factor)
+    state = create_train_state(
+        model, crf, tx_probe, key, init_batch["rays"], rays_info,
+        crf_identity_prefit=crf_identity_prefit)
+    if args.colornet_weightdecay:
+        tx = build_optimizer(args.lrate, args.lrate_decay,
+                             args.lrate_warmup_iters,
+                             args.lrate_warmup_factor,
+                             colornet_weightdecay=args.colornet_weightdecay,
+                             params=state.params)
+        state = state.replace(opt_state=tx.init(state.params))
+    else:
+        tx = tx_probe
+    return state, tx
 
 
 def train(args, max_iters: Optional[int] = None):
@@ -257,27 +295,7 @@ def _train_impl(args, max_iters: Optional[int] = None):
 
     # model/optimizer init from one representative batch
     sampler = endless(_image_sampler_factory(args, llff))
-    init_batch = llff.batch(next(iter(
-        RandomRaySampler(llff.n_rays, args.N_rand, seed=args.seed))))
-    rays_info = {k: init_batch[k] for k in
-                 ("images_idx", "rays_x", "rays_y", "poses")}
-    key = jax.random.PRNGKey(args.seed)
-
-    tx_probe = build_optimizer(args.lrate, args.lrate_decay,
-                               args.lrate_warmup_iters,
-                               args.lrate_warmup_factor)
-    state = create_train_state(
-        model, crf, tx_probe, key, init_batch["rays"], rays_info,
-        crf_identity_prefit=args.tone_mapping_learn_init_identity)
-    if args.colornet_weightdecay:
-        tx = build_optimizer(args.lrate, args.lrate_decay,
-                             args.lrate_warmup_iters,
-                             args.lrate_warmup_factor,
-                             colornet_weightdecay=args.colornet_weightdecay,
-                             params=state.params)
-        state = state.replace(opt_state=tx.init(state.params))
-    else:
-        tx = tx_probe
+    state, tx = build_initial_state(args, llff, model, crf)
 
     # checkpoint auto-resume (ref: run_nerf.py:276-297)
     ckpt_dir = (args.ft_path if args.ft_path
@@ -341,9 +359,9 @@ def _train_impl(args, max_iters: Optional[int] = None):
                                     chunk=args.chunk,
                                     render_factor=args.render_factor,
                                     mesh=mesh, verbose=primary)
-        rgbs = apply_crf_host(crf, state.params["crf"], rgbs,
-                              skip_learn_crf=False)
         if primary:
+            rgbs = apply_crf_host(crf, state.params["crf"], rgbs,
+                                  skip_learn_crf=False)
             outdir = os.path.join(expdir, f"renderonly_{name}_{start:06d}")
             ver = 0
             while os.path.exists(outdir + (f"_ver{ver}" if ver else "")):
@@ -452,10 +470,13 @@ def _train_impl(args, max_iters: Optional[int] = None):
                     {f"train/{k}": float(v) for k, v in aux.items()
                      if np.ndim(v) == 0}, i)
 
-            if ((i % args.i_weights == 0 and i > 0) or is_last) and primary:
+            if (i % args.i_weights == 0 and i > 0) or is_last:
                 # keyed by the post-update step count so resume continues
-                # exactly where training left off. Multi-host: the state is
-                # fully replicated, so the primary's device_get is complete.
+                # exactly where training left off. Multi-host: EVERY
+                # process must call save — orbax runs a global sync
+                # barrier inside CheckpointManager.save (a primary-only
+                # call deadlocks the pod) and itself gates the actual
+                # write to the primary host.
                 ckpt.save(int(state.step), jax.device_get(state),
                           force=is_last)
             if (i % args.i_testset == 0 and i > 0) or is_last:

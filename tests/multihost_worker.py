@@ -72,4 +72,23 @@ if multihost.is_primary():
     flat = {jax.tree_util.keystr(k): np.asarray(v)
             for k, v in jax.tree_util.tree_leaves_with_path(grads)}
     np.savez(out_path, loss=np.float64(loss), **flat)
+
+# checkpoint round-trip under multi-process execution: EVERY process must
+# call save (orbax runs a global sync barrier inside CheckpointManager.save;
+# a primary-only call deadlocks — the regression the train loop fixes by
+# not gating the save on is_primary) while orbax itself performs the write
+# on the primary host only.
+from evdeblurnerf_tpu.train.checkpoint import CheckpointManager  # noqa: E402
+
+host_state = jax.device_get(state)
+ckpt = CheckpointManager(out_path + ".ckpt")
+ckpt.save(1, host_state, force=True)
+ckpt.wait()
+restored = ckpt.restore_latest(host_state)
+assert restored is not None and int(restored[0]) == 1, restored
+np.testing.assert_array_equal(
+    np.asarray(jax.tree_util.tree_leaves(restored[1].params)[0]),
+    np.asarray(jax.tree_util.tree_leaves(host_state.params)[0]))
+ckpt.close()
+
 print(f"proc {pid}: loss={loss}", flush=True)

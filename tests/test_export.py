@@ -147,8 +147,11 @@ def test_export_experiment_end_to_end(tmp_path):
     os.makedirs(scene_dir)
     make_synthetic_scene(scene_dir)
     logdir = str(tmp_path / "logs")
+    # colornet_weightdecay changes the opt_state tree structure
+    # (optax.add_decayed_weights prepended): the export's restore template
+    # must match it, which regressed once — keep it in this path
     args = tiny_args(scene_dir, logdir, N_iters=30, i_weights=30,
-                     i_testset=10 ** 9)
+                     i_testset=10 ** 9, colornet_weightdecay=1e-4)
     state = train(args)
 
     out = str(tmp_path / "exp.evdnsrv")

@@ -8,7 +8,9 @@ psums crossing processes (DCN on a real pod; gloo in this CPU test).
 
 Here 2 subprocesses × 4 virtual CPU devices run the SAME full train step
 as ``tests/test_parallel.py`` and must reproduce the in-process
-8-device (and therefore single-device) loss and gradients.
+8-device (and therefore single-device) loss and gradients; the worker
+also saves + restores an orbax checkpoint with every process calling
+``save`` (the all-process barrier contract the train loop relies on).
 """
 
 import os
@@ -30,7 +32,7 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_two_process_step_matches_single_process(tmp_path):
-    from test_parallel import _assert_grads_close, _run_one_step
+    from test_parallel import _run_one_step
 
     port = _free_port()
     out = str(tmp_path / "proc0.npz")
@@ -55,6 +57,8 @@ def test_two_process_step_matches_single_process(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
     assert os.path.exists(out), logs[0][-4000:]
 
+    assert os.path.isdir(out + ".ckpt"), "multi-process checkpoint missing"
+
     data = np.load(out)
     loss_mh = float(data["loss"])
     grads_mh = {k: data[k] for k in data.files if k != "loss"}
@@ -66,6 +70,8 @@ def test_two_process_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(loss_mh, loss1, rtol=1e-6, atol=1e-7)
     import jax
 
+    # same tolerances as test_parallel._assert_grads_close, restated for
+    # the npz dict form the worker dumps
     for path, leaf1 in jax.tree_util.tree_leaves_with_path(grads1):
         name = jax.tree_util.keystr(path)
         leaf1 = np.asarray(leaf1)
@@ -74,7 +80,6 @@ def test_two_process_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             leaf_mh, leaf1, rtol=5e-3, atol=1e-2 * scale,
             err_msg=f"multi-process grad mismatch at {name}")
-    del _assert_grads_close  # tolerance duplicated inline (npz dict form)
 
 
 @pytest.mark.fast

@@ -41,10 +41,6 @@ def main():
     from evdeblurnerf_tpu import config, serving
 
     args = config.parse_args(rest)
-    if args.events_threshold_pos is None or args.events_threshold_neg is None:
-        args.events_threshold_pos = args.events_threshold
-        args.events_threshold_neg = args.events_threshold
-
     meta = serving.export_experiment(args, cli.out, chunk=cli.export_chunk)
     size = os.path.getsize(cli.out)
     print(f"wrote {cli.out} ({size / 1e6:.1f} MB, step={meta['step']}, "
