@@ -70,21 +70,38 @@ def make_render_fn(model, variables, crf=None, crf_params=None,
 
 def export_renderer(model, variables, chunk: int = 32768, crf=None,
                     crf_params=None, skip_learn_crf: bool = False,
-                    meta: Optional[dict] = None):
+                    mesh=None, meta: Optional[dict] = None):
     """AOT-export the eval renderer; returns ``(exported, meta)``.
 
     ``meta`` entries (e.g. H/W/K/near/far) are merged into the header so
     the loader can rebuild camera rays without any config file.
-    """
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the program is exported
+    data-parallel: rays shard over the mesh axis, weights replicate as
+    constants, outputs come back replicated. The artifact then requires
+    exactly ``mesh.size`` devices at serving time (recorded in the header;
+    the loader rebuilds the placement automatically)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    jit_kwargs = {}
+    if mesh is not None:
+        if chunk % mesh.size:
+            raise ValueError(f"chunk={chunk} must divide over the "
+                             f"{mesh.size}-device mesh")
+        (axis,) = mesh.axis_names
+        jit_kwargs = {"in_shardings": NamedSharding(mesh, P(axis)),
+                      "out_shardings": NamedSharding(mesh, P())}
     fn = jax.jit(make_render_fn(model, variables, crf=crf,
                                 crf_params=crf_params,
-                                skip_learn_crf=skip_learn_crf))
+                                skip_learn_crf=skip_learn_crf),
+                 **jit_kwargs)
     spec = jax.ShapeDtypeStruct((int(chunk), 3, 2), jnp.float32)
     exported = jax.export.export(fn)(spec)
     header = {
         "format_version": FORMAT_VERSION,
         "chunk": int(chunk),
         "platforms": list(exported.platforms),
+        "nr_devices": int(exported.nr_devices),
         "crf_folded": crf is not None,
         "jax_version": jax.__version__,
     }
@@ -116,6 +133,21 @@ class ServingRenderer:
         self.meta = dict(meta)
         self.chunk = int(meta["chunk"])
         self.platforms = tuple(meta.get("platforms", ()))
+        self.nr_devices = int(meta.get("nr_devices", exported.nr_devices))
+        self._sharding = None
+        if self.nr_devices > 1:
+            # data-parallel artifact: rebuild the ray placement it was
+            # exported under (1-D mesh over the first nr_devices devices)
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+
+            devs = jax.devices()
+            if len(devs) < self.nr_devices:
+                raise ValueError(
+                    f"artifact was exported for {self.nr_devices} devices; "
+                    f"this process has {len(devs)}")
+            mesh = Mesh(np.array(devs[:self.nr_devices]), ("data",))
+            self._sharding = NamedSharding(mesh, P("data"))
 
     def __call__(self, rays):
         rays = jnp.asarray(rays, jnp.float32)
@@ -124,6 +156,8 @@ class ServingRenderer:
                 f"this artifact renders fixed chunks of shape "
                 f"({self.chunk}, 3, 2); got {tuple(rays.shape)} — pad or "
                 f"re-export with a different --export_chunk")
+        if self._sharding is not None:
+            rays = jax.device_put(rays, self._sharding)
         return self._call(rays)
 
     def render_poses(self, poses, H: Optional[int] = None,
@@ -142,13 +176,16 @@ class ServingRenderer:
                              render_factor=render_factor, verbose=verbose)
 
 
-def export_experiment(args, out_path: str, chunk: int = 32768) -> dict:
+def export_experiment(args, out_path: str, chunk: int = 32768,
+                      devices: int = 1) -> dict:
     """Config + checkpoint directory -> one serving artifact on disk.
 
     Rebuilds the model exactly as training would (same config +
     dataset-derived camera/AABB), restores the latest checkpoint from
     ``args.ft_path`` or ``args.basedir/args.expname/checkpoints``, folds
-    the rgb CRF, and writes the artifact. Returns the header metadata.
+    the rgb CRF, and writes the artifact. ``devices > 1`` exports
+    data-parallel over that many local devices (rays sharded, weights
+    replicated). Returns the header metadata.
     Used by ``tools/export_renderer.py``.
     """
     import copy
@@ -187,8 +224,13 @@ def export_experiment(args, out_path: str, chunk: int = 32768) -> dict:
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
+    mesh = None
+    if devices > 1:
+        from .parallel import create_mesh
+
+        mesh = create_mesh(jax.devices()[:devices])
     exported, meta = export_renderer(
-        model, variables, chunk=chunk,
+        model, variables, chunk=chunk, mesh=mesh,
         crf=crf, crf_params=state.params["crf"],
         meta={"H": llff.h, "W": llff.w,
               "K": np.asarray(llff.K, np.float64).tolist(),

@@ -127,6 +127,40 @@ def test_render_poses_via_artifact(tmp_path):
     np.testing.assert_allclose(got_depth, live_depth, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.fast
+def test_sharded_export_matches_single_device(tmp_path):
+    """A data-parallel artifact (rays sharded over an 8-device mesh,
+    weights replicated as constants) reproduces the single-device one."""
+    import jax
+
+    from evdeblurnerf_tpu import serving
+    from evdeblurnerf_tpu.parallel import create_mesh
+
+    model = _build_model("dsk")
+    variables = _init_variables(model)
+    rays, _ = _make_inputs()
+    rays = rays[:CHUNK]
+
+    single, _ = serving.export_renderer(model, variables, chunk=CHUNK)
+    want = [np.asarray(v) for v in single.call(rays)]
+
+    mesh = create_mesh(jax.devices()[:8])
+    exported, meta = serving.export_renderer(model, variables, chunk=CHUNK,
+                                             mesh=mesh)
+    assert meta["nr_devices"] == 8
+    path = str(tmp_path / "dp.evdnsrv")
+    serving.save_renderer(path, exported, meta)
+    r = serving.load_renderer(path)
+    assert r.nr_devices == 8
+    got = r(rays)
+    for name, a, b in zip(("rgb", "depth", "acc"), want, got):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-5, atol=1e-6,
+                                   err_msg=name)
+
+    with pytest.raises(ValueError, match="must divide"):
+        serving.export_renderer(model, variables, chunk=CHUNK + 1, mesh=mesh)
+
+
 @pytest.mark.slow
 def test_export_experiment_end_to_end(tmp_path):
     """Train a short run on the synthetic scene, export via

@@ -36,15 +36,21 @@ def main():
     ap.add_argument("--out", required=True, help="output artifact path")
     ap.add_argument("--export_chunk", type=int, default=32768,
                     help="fixed rays-per-call chunk baked into the program")
+    ap.add_argument("--export_devices", type=int, default=1,
+                    help="export data-parallel over this many devices "
+                         "(rays sharded; the artifact then requires exactly "
+                         "this many devices at serving time)")
     cli, rest = ap.parse_known_args()
 
     from evdeblurnerf_tpu import config, serving
 
     args = config.parse_args(rest)
-    meta = serving.export_experiment(args, cli.out, chunk=cli.export_chunk)
+    meta = serving.export_experiment(args, cli.out, chunk=cli.export_chunk,
+                                     devices=cli.export_devices)
     size = os.path.getsize(cli.out)
     print(f"wrote {cli.out} ({size / 1e6:.1f} MB, step={meta['step']}, "
-          f"chunk={cli.export_chunk}, platforms={meta['platforms']})")
+          f"chunk={cli.export_chunk}, devices={meta['nr_devices']}, "
+          f"platforms={meta['platforms']})")
 
 
 if __name__ == "__main__":
