@@ -53,6 +53,13 @@ rays_info = {k: batch[k] for k in
              ("images_idx", "rays_x", "rays_y", "poses")}
 state = create_train_state(model, crf, tx, key, batch["rays"], rays_info)
 
+# snapshot the (deterministic, seed-derived) initial eval variables and a
+# host ray batch for the multi-host eval-path check below
+variables0 = {"params": jax.device_get(state.params["nerf"])}
+if state.batch_stats:
+    variables0["batch_stats"] = jax.device_get(state.batch_stats)
+rays_host = np.asarray(batch["rays"])
+
 state = multihost.replicate_global(state, mesh)
 batch = multihost.put_global(batch, mesh)
 ev_batch = multihost.put_global(ev_batch, mesh)
@@ -68,10 +75,25 @@ state, aux = step_fn(state, batch, ev_batch, key, sw,
 
 loss = float(aux["loss"])
 grads = jax.device_get(aux["grads_tree"])
+
+# multi-host EVAL path: build_chunk_renderer takes the process_count()>1
+# branch (host chunks -> global arrays via put_global, outputs replicated
+# so every process can read its local copy); the test compares the
+# primary's render against an in-process single-device render of the
+# same seed-derived initial variables
+from evdeblurnerf_tpu.train.evaluate import build_chunk_renderer  # noqa: E402
+
+chunk_fn = build_chunk_renderer(model, mesh=mesh)
+v0_global = multihost.replicate_global(variables0, mesh)
+eval_rgb, eval_depth, eval_acc = chunk_fn(v0_global, rays_host)
+eval_rgb, eval_depth = np.asarray(eval_rgb), np.asarray(eval_depth)
+assert np.isfinite(eval_rgb).all() and np.isfinite(eval_depth).all()
+
 if multihost.is_primary():
     flat = {jax.tree_util.keystr(k): np.asarray(v)
             for k, v in jax.tree_util.tree_leaves_with_path(grads)}
-    np.savez(out_path, loss=np.float64(loss), **flat)
+    np.savez(out_path, loss=np.float64(loss), eval_rgb=eval_rgb,
+             eval_depth=eval_depth, **flat)
 
 # checkpoint round-trip under multi-process execution: EVERY process must
 # call save (orbax runs a global sync barrier inside CheckpointManager.save;

@@ -61,7 +61,8 @@ def test_two_process_step_matches_single_process(tmp_path):
 
     data = np.load(out)
     loss_mh = float(data["loss"])
-    grads_mh = {k: data[k] for k in data.files if k != "loss"}
+    skip = {"loss", "eval_rgb", "eval_depth"}
+    grads_mh = {k: data[k] for k in data.files if k not in skip}
 
     loss1, grads1 = _run_one_step(1)
     assert np.isfinite(loss1)
@@ -80,6 +81,31 @@ def test_two_process_step_matches_single_process(tmp_path):
         np.testing.assert_allclose(
             leaf_mh, leaf1, rtol=5e-3, atol=1e-2 * scale,
             err_msg=f"multi-process grad mismatch at {name}")
+
+    # the multi-host EVAL branch of build_chunk_renderer (global ray
+    # chunks + replicated outputs) must reproduce a plain single-device
+    # render of the same seed-derived initial variables
+    from test_parallel import _make_batches, _setup
+
+    from evdeblurnerf_tpu.train.evaluate import build_chunk_renderer
+    from evdeblurnerf_tpu.train.optim import build_optimizer
+    from evdeblurnerf_tpu.train.state import create_train_state
+
+    args, model, crf = _setup()
+    batch, _ = _make_batches()
+    rays_info = {k: batch[k] for k in
+                 ("images_idx", "rays_x", "rays_y", "poses")}
+    tx = build_optimizer(args.lrate, args.lrate_decay)
+    state = create_train_state(model, crf, tx, jax.random.PRNGKey(0),
+                               batch["rays"], rays_info)
+    variables = {"params": state.params["nerf"]}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    rgb1, depth1, _ = build_chunk_renderer(model)(variables, batch["rays"])
+    np.testing.assert_allclose(data["eval_rgb"], np.asarray(rgb1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(data["eval_depth"], np.asarray(depth1),
+                               rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.fast
