@@ -40,6 +40,13 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
     """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
+    from evdeblurnerf_tpu.utils import compile_cache
+
+    # persistent compile cache: ~4.5 min of bench wall time is compile;
+    # repeat runs (A/B pairs, sweeps) hit the cache. EVDN_DISABLE_COMPILE_CACHE=1
+    # restores cold-compile measurements.
+    compile_cache.enable()
+
     from evdeblurnerf_tpu.config import default_args
     from evdeblurnerf_tpu.models.renderer import RenderConfig
     from evdeblurnerf_tpu.models.system import (EvDeblurNeRF,

@@ -268,6 +268,12 @@ FLAG_SPEC = [
                "2k-iter full-method trajectory equal-or-better than the "
                "gather path (PERF_NOTES.md). --triplane_line_matmul False "
                "restores the gather/scatter path"),
+    _flag("compilation_cache_dir", str, "auto",
+          help="persistent XLA compilation-cache directory so restarts, "
+               "resumes and render-only runs skip recompiling the train "
+               "step and eval renderer (utils/compile_cache.py). 'auto' "
+               "uses $EVDN_COMPILE_CACHE_DIR or "
+               "~/.cache/evdeblurnerf_tpu/xla-cache; 'none' disables"),
     _flag("matmul_precision", str, "default",
           choices=["default", "high", "highest"],
           help="jax default matmul precision; 'highest' forces exact f32 "

@@ -231,6 +231,10 @@ def _train_impl(args, max_iters: Optional[int] = None):
         args.events_threshold_pos = args.events_threshold
         args.events_threshold_neg = args.events_threshold
 
+    from ..utils import compile_cache
+
+    compile_cache.enable(getattr(args, "compilation_cache_dir", "auto"))
+
     if getattr(args, "matmul_precision", "default") != "default":
         # parity runs: exact f32 MXU passes (SURVEY §7 "beware default TPU
         # bf16 matmuls — set highest matmul precision for parity runs")

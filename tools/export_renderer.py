@@ -43,8 +43,10 @@ def main():
     cli, rest = ap.parse_known_args()
 
     from evdeblurnerf_tpu import config, serving
+    from evdeblurnerf_tpu.utils import compile_cache
 
     args = config.parse_args(rest)
+    compile_cache.enable(getattr(args, "compilation_cache_dir", "auto"))
     meta = serving.export_experiment(args, cli.out, chunk=cli.export_chunk,
                                      devices=cli.export_devices)
     size = os.path.getsize(cli.out)
