@@ -75,8 +75,9 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         remat=False, grad_accum=grad_accum,
         **(arg_overrides or {}),
     )
-    args.events_threshold_pos = args.events_threshold
-    args.events_threshold_neg = args.events_threshold
+    from evdeblurnerf_tpu.config import resolve_event_thresholds
+
+    resolve_event_thresholds(args)
 
     cfg = RenderConfig(
         mode="c2f", N_samples=64, N_importance=64, use_viewdirs=True,

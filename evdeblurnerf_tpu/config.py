@@ -509,6 +509,18 @@ def default_args(**overrides) -> Args:
     return Args(values)
 
 
+def resolve_event_thresholds(args: Args) -> Args:
+    """Default the per-polarity event thresholds from the shared one
+    (ref: run_nerf.py:37-41). Mutates ``args`` in place (callers that must
+    not leak the resolution copy first); returns it for chaining. Every
+    entry point that feeds thresholds into a model (train, serving export,
+    checkpoint convert/export, bench) resolves through here."""
+    if args.events_threshold_pos is None or args.events_threshold_neg is None:
+        args.events_threshold_pos = args.events_threshold
+        args.events_threshold_neg = args.events_threshold
+    return args
+
+
 def write_args_txt(args: Args, path: str):
     """Dump the full resolved flag snapshot (ref: run_nerf.py:151-155)."""
     with open(path, "w") as handle:

@@ -147,17 +147,22 @@ class LPIPSScorer:
                                        "torch"))
         candidates = glob.glob(os.path.join(hub, "hub", "checkpoints",
                                             "alexnet-owt-*.pth"))
-        lin_pth = os.path.join(os.path.dirname(__file__), "..", "..",
-                               "tests", "goldens", "lpips_alex_lin.pth")
-        # a torch-format lin-head file outside the repo (e.g. an upstream
-        # LPIPS checkout's weights/v0.1/alex.pth) can be pointed at via env
-        lin = (os.environ.get("EVDEBLURNERF_LPIPS_LIN_PTH") or lin_pth)
-        if not candidates or not os.path.exists(lin):
+        if not candidates:
             return None
+        # lin heads: the vendored npz (always present) unless a torch-format
+        # file (e.g. an upstream LPIPS checkout's weights/v0.1/alex.pth) is
+        # pointed at via env
+        lin = os.environ.get("EVDEBLURNERF_LPIPS_LIN_PTH") or None
+        if lin is not None and not os.path.exists(lin):
+            lin = None
         try:
             convert_torch_weights(candidates[0], lin, _FULL_BUNDLE)
             return cls.from_npz(_FULL_BUNDLE)
-        except Exception:
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(f"found a torch-hub AlexNet at {candidates[0]} "
+                          f"but converting it failed ({exc}); falling back")
             return None
 
     @classmethod
@@ -196,18 +201,26 @@ class LPIPSScorer:
         return float(self._fn(a, b)[0])
 
 
-def convert_torch_weights(alexnet_pth: str, lin_pth: str, out_npz: str):
-    """Build the npz weight bundle from torch checkpoints (host tool)."""
+def convert_torch_weights(alexnet_pth: str, lin_pth: Optional[str],
+                          out_npz: str):
+    """Build the npz weight bundle from torch checkpoints (host tool).
+
+    ``lin_pth`` may be a torch-format LPIPS lin-head file (the reference
+    vendors one at networks/lpips/weights/v0.1/alex.pth) or None to use the
+    already-converted vendored heads (:data:`_VENDORED_LIN`)."""
     import torch
 
     alex = torch.load(alexnet_pth, map_location="cpu")
-    lin = torch.load(lin_pth, map_location="cpu")
     out = {}
     conv_ids = [0, 3, 6, 8, 10]          # torchvision alexnet.features idx
     for i, cid in enumerate(conv_ids):
         out[f"conv{i}_w"] = alex[f"features.{cid}.weight"].numpy()
         out[f"conv{i}_b"] = alex[f"features.{cid}.bias"].numpy()
-    for i in range(5):
-        key = f"lin{i}.model.1.weight"
-        out[f"lin{i}_w"] = lin[key].numpy()
+    if lin_pth is None:
+        out.update({k: v for k, v in np.load(_VENDORED_LIN).items()})
+    else:
+        lin = torch.load(lin_pth, map_location="cpu")
+        for i in range(5):
+            key = f"lin{i}.model.1.weight"
+            out[f"lin{i}_w"] = lin[key].numpy()
     np.savez(out_npz, **out)

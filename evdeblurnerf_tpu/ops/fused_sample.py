@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from . import triplane
-from .lane_shuffle import use_pallas
+from .lane_shuffle import on_tpu
 
 # rows per grid step; inputs + the [BLK, C]-wide live values must stay
 # under the 16M scoped-vmem limit (bwd holds ~2x the fwd live set:
@@ -276,7 +276,7 @@ def _fused_fwd(planes, lines, xyz, table_bf16):
         pl_ = [(p.astype(jnp.bfloat16), d) for p, d in pl_]
     fcoords, idxs = _fcoords_and_indices(xyz, sizes)
     rows = _take6(pp, pl_, idxs)
-    interpret = not use_pallas()
+    interpret = not on_tpu()
     out = _fused_fwd_call(fcoords, rows, sizes, interpret=interpret)
     res = (fcoords, rows, [p.shape for p in planes], [l.shape for l in lines])
     return out, res
@@ -290,7 +290,7 @@ def _fused_bwd_rule(table_bf16, res, g):
     fcoords, rows, plane_shapes, line_shapes = res
     sizes = tuple((ps[1], ps[2], ls[1])
                   for ps, ls in zip(plane_shapes, line_shapes))
-    interpret = not use_pallas()
+    interpret = not on_tpu()
     outs = _fused_bwd_call(fcoords, rows, g, sizes, interpret=interpret)
     d_rows, d_fc = outs[:6], outs[6]
 

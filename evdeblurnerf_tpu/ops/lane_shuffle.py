@@ -69,9 +69,18 @@ def use_pallas() -> bool:
     return bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET"))
 
 
+def on_tpu() -> bool:
+    """True when the traced program targets a real TPU. Pallas callers must
+    pass ``interpret=not on_tpu()`` to their ``pallas_call`` whenever
+    ``use_pallas()`` is True: on a non-TPU target ``use_pallas()`` can be
+    True via ``EVDN_LANE_KERNELS_INTERPRET``, and dispatching a
+    non-interpreted Mosaic kernel there is a compile error."""
+    return _target_platform() == "tpu"
+
+
 def _interpret_default() -> bool:
     """Interpret-mode Pallas for non-TPU targets that opted in."""
-    return (_target_platform() != "tpu"
+    return (not on_tpu()
             and bool(os.environ.get("EVDN_LANE_KERNELS_INTERPRET")))
 
 

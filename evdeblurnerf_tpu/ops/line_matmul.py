@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .lane_shuffle import use_pallas
+from .lane_shuffle import on_tpu, use_pallas
 
 _BLK = 1024
 
@@ -110,7 +110,8 @@ def _take_fwd(table, idx, precision, table_bf16):
 def _take_bwd(precision, table_bf16, res, g):
     idx, shape = res
     if use_pallas():
-        d_table = line_grad_matmul(idx, g, shape[0], precision=precision)
+        d_table = line_grad_matmul(idx, g, shape[0], precision=precision,
+                                    interpret=not on_tpu())
     else:
         d_table = jnp.zeros(shape, g.dtype).at[idx].add(g)
     return d_table, None

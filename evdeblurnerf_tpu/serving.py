@@ -190,14 +190,11 @@ def export_experiment(args, out_path: str, chunk: int = 32768,
     """
     import copy
 
+    from . import config
     from .train.checkpoint import CheckpointManager
     from .train.loop import build_datasets, build_initial_state, build_model
 
-    if (args.events_threshold_pos is None
-            or args.events_threshold_neg is None):
-        args = copy.copy(args)
-        args.events_threshold_pos = args.events_threshold
-        args.events_threshold_neg = args.events_threshold
+    args = config.resolve_event_thresholds(copy.copy(args))
 
     # only the frame dataset is needed (camera/AABB/near-far); skip the
     # event-stream preprocessing + EDI prior an events experiment would

@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from ..config import write_args_txt
+from ..config import resolve_event_thresholds, write_args_txt
 from ..data import (ImageBatchSampler, LLFFDataset, LLFFEventsDataset,
                     Prefetcher, RandomEventSampler, RandomRaySampler, endless)
 from ..models.renderer import config_from_args
@@ -227,9 +227,7 @@ def train(args, max_iters: Optional[int] = None):
 
 
 def _train_impl(args, max_iters: Optional[int] = None):
-    if args.events_threshold_pos is None or args.events_threshold_neg is None:
-        args.events_threshold_pos = args.events_threshold
-        args.events_threshold_neg = args.events_threshold
+    resolve_event_thresholds(args)
 
     from ..utils import compile_cache
 
@@ -406,16 +404,20 @@ def _train_impl(args, max_iters: Optional[int] = None):
 
     # prefetch pipelines
     img_iter = sampler
+    # multihost: rows land via the per-process put_fn; a sharding spanning
+    # other processes' devices would be invalid to device_put directly, so
+    # don't pass one
     put_fn = mh_ctx.batch_put_fn(mesh) if multiproc else None
+    batch_shard = None if multiproc else data_shard
     img_prefetch = Prefetcher(lambda: llff.batch(next(img_iter)),
-                              sharding=data_shard, put_fn=put_fn)
+                              sharding=batch_shard, put_fn=put_fn)
     ev_prefetch = None
     if args.use_events and args.add_event_egm:
         ev_sampler = RandomEventSampler(len(ev), args.events_N_rand,
                                         seed=args.seed)
         ev_iter = endless(lambda: iter(ev_sampler))
         ev_prefetch = Prefetcher(lambda: ev.batch(next(ev_iter)),
-                                 sharding=data_shard, put_fn=put_fn)
+                                 sharding=batch_shard, put_fn=put_fn)
 
     N_iters = args.N_iters if max_iters is None else min(args.N_iters,
                                                          start + max_iters)

@@ -55,3 +55,26 @@ def test_take_rows_line_grad_matches_plain_take():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_interpret_env_dispatches_interpreter_on_cpu(monkeypatch):
+    """EVDN_LANE_KERNELS_INTERPRET=1 on a CPU backend makes use_pallas()
+    True; the backward must then run the kernel in interpret mode instead
+    of issuing a Mosaic TPU lowering (which errors on CPU)."""
+    from evdeblurnerf_tpu.ops import lane_shuffle
+
+    monkeypatch.setenv("EVDN_LANE_KERNELS_INTERPRET", "1")
+    assert lane_shuffle.use_pallas() and not lane_shuffle.on_tpu()
+    rng = np.random.default_rng(3)
+    D, C, N = 47, 16, 300
+    table = jnp.asarray(rng.normal(size=(D, C)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, D, N), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(N, C)), jnp.float32)
+
+    def f(t):
+        return jnp.sum(line_matmul.take_rows_line(t, idx) * g)
+
+    d_table = jax.grad(f)(table)
+    want = jnp.zeros((D, C), jnp.float32).at[idx].add(g)
+    np.testing.assert_allclose(np.asarray(d_table), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -111,3 +111,47 @@ if __name__ == "__main__":
                                        h[:, None] * h[None, :]), -1)
     im2 = im1[::-1].copy()
     print("golden default distance:", scorer(im1 * 2 - 1, im2 * 2 - 1))
+
+
+def test_convert_torch_trunk_with_vendored_lin_heads(tmp_path, monkeypatch):
+    """from_torch_cache's conversion path: a torchvision-format AlexNet
+    state dict + lin_pth=None must produce a loadable full bundle whose lin
+    heads are the vendored v0.1 ones (the default on machines with a
+    torch-hub AlexNet but no torch-format LPIPS checkout)."""
+    from evdeblurnerf_tpu.models import lpips as L
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    in_ch = 3
+    for cid, (out_ch, k, _, _) in zip([0, 3, 6, 8, 10], _ALEX):
+        sd[f"features.{cid}.weight"] = torch.tensor(
+            rng.normal(0, 0.01, (out_ch, in_ch, k, k)).astype(np.float32))
+        sd[f"features.{cid}.bias"] = torch.zeros(out_ch)
+        in_ch = out_ch
+    trunk_pth = tmp_path / "alexnet-owt-test.pth"
+    torch.save(sd, trunk_pth)
+
+    out = tmp_path / "bundle.npz"
+    L.convert_torch_weights(str(trunk_pth), None, str(out))
+    bundle = dict(np.load(out))
+    vendored = dict(np.load(L._VENDORED_LIN))
+    for i in range(5):
+        np.testing.assert_array_equal(bundle[f"lin{i}_w"],
+                                      vendored[f"lin{i}_w"])
+        assert bundle[f"conv{i}_w"].shape == (_ALEX[i][0],
+                                              3 if i == 0 else _ALEX[i - 1][0],
+                                              _ALEX[i][1], _ALEX[i][1])
+    scorer = LPIPSScorer.from_npz(str(out))
+    im = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    assert np.isfinite(scorer(im, im))
+
+    # from_torch_cache end-to-end: point TORCH_HOME at a fake hub cache
+    hub = tmp_path / "torch"
+    ckpt_dir = hub / "hub" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    torch.save(sd, ckpt_dir / "alexnet-owt-7be5be79.pth")
+    monkeypatch.setenv("TORCH_HOME", str(hub))
+    monkeypatch.setattr(L, "_FULL_BUNDLE", str(tmp_path / "auto_bundle.npz"))
+    scorer = L.LPIPSScorer.from_torch_cache()
+    assert scorer is not None
+    assert (tmp_path / "auto_bundle.npz").exists()

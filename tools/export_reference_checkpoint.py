@@ -84,9 +84,7 @@ def main():
     from evdeblurnerf_tpu.utils import checkpoint_convert as cc
 
     args = config.parse_args(rest)
-    if args.events_threshold_pos is None or args.events_threshold_neg is None:
-        args.events_threshold_pos = args.events_threshold
-        args.events_threshold_neg = args.events_threshold
+    config.resolve_event_thresholds(args)
 
     import jax
 
