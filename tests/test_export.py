@@ -6,6 +6,7 @@ checkpoint (ref: run_nerf.py:337-414); the serving path must reproduce the
 live eval renderer exactly through a serialize/deserialize round-trip.
 """
 
+import json
 import os
 
 import numpy as np
@@ -213,3 +214,34 @@ def test_export_experiment_end_to_end(tmp_path):
     live_rgb = apply_crf_host(crf, jax.device_get(state.params["crf"]),
                               live_rgb, skip_learn_crf=False)
     np.testing.assert_allclose(got_rgb, live_rgb, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.fast
+def test_bench_serving_tool(tmp_path):
+    """tools/bench_serving.py measures a tiny artifact end-to-end and
+    reports sane latency/throughput numbers."""
+    import sys
+
+    import jax
+
+    from evdeblurnerf_tpu import serving
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import bench_serving
+
+    model = _build_model("dsk")
+    variables = _init_variables(model)
+    exported, meta = serving.export_renderer(
+        model, variables, chunk=CHUNK,
+        meta={"H": 64, "W": 80, "K": [[60.0, 0, 40], [0, 60.0, 32],
+                                      [0, 0, 1]]})
+    path = str(tmp_path / "scene.evdnsrv")
+    serving.save_renderer(path, exported, meta)
+
+    res = bench_serving.run(path, calls=5, in_flight=2, warmup=1)
+    assert res["chunk"] == CHUNK and res["nr_devices"] == 1
+    assert res["load_s"] > 0 and res["first_call_s"] > 0
+    assert res["latency_p50_ms"] <= res["latency_p99_ms"]
+    assert res["throughput_rays_per_sec"] > 0
+    json.dumps(res)  # one-line JSON serializable
