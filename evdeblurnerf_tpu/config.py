@@ -273,7 +273,10 @@ FLAG_SPEC = [
                "resumes and render-only runs skip recompiling the train "
                "step and eval renderer (utils/compile_cache.py). 'auto' "
                "uses $EVDN_COMPILE_CACHE_DIR or "
-               "~/.cache/evdeblurnerf_tpu/xla-cache; 'none' disables"),
+               "~/.cache/evdeblurnerf_tpu/xla-cache on accelerator "
+               "backends (off on CPU, whose AOT executables are "
+               "host-ISA-specific); an explicit path always enables; "
+               "'none' disables"),
     _flag("matmul_precision", str, "default",
           choices=["default", "high", "highest"],
           help="jax default matmul precision; 'highest' forces exact f32 "
@@ -452,6 +455,29 @@ def _parse_cli(argv: Sequence[str]) -> dict:
     return raw_values
 
 
+def format_help() -> str:
+    """Flag reference for --help: name, type, default, and help text."""
+    lines = ["usage: evdn-train [--config FILE.txt] [--flag value ...]",
+             "",
+             "Config-file values act as defaults; explicit CLI flags "
+             "override them (reference-compatible format).",
+             ""]
+    for f in FLAG_SPEC:
+        t = ("bool" if f.type is bool
+             else f.type.__name__ + ("[]" if f.is_list else ""))
+        head = f"  --{f.name} ({t}, default {f.default!r})"
+        if f.choices:
+            head += f" choices={list(f.choices)}"
+        lines.append(head)
+        if f.help:
+            import textwrap
+
+            lines.extend(textwrap.wrap(f.help, width=72,
+                                       initial_indent="      ",
+                                       subsequent_indent="      "))
+    return "\n".join(lines)
+
+
 def parse_args(argv: Optional[Sequence[str]] = None) -> Args:
     """Parse CLI args layered over an optional ``--config`` file.
 
@@ -461,6 +487,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> Args:
     import sys
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in argv or "-h" in argv:
+        print(format_help())
+        raise SystemExit(0)
     cli_raw = _parse_cli(argv)
 
     values = {f.name: f.default for f in FLAG_SPEC}

@@ -33,12 +33,29 @@ def _load_library() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_CPP_DIR, "events.cpp"))):
-            subprocess.run(["make", "-s", "-C", _CPP_DIR], check=True,
-                           capture_output=True)
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            if not os.path.exists(_LIB_PATH) or (
+                    os.path.getmtime(_LIB_PATH)
+                    < os.path.getmtime(os.path.join(_CPP_DIR,
+                                                    "events.cpp"))):
+                subprocess.run(["make", "-s", "-C", _CPP_DIR], check=True,
+                               capture_output=True)
+            path = _LIB_PATH
+        except Exception:
+            # no toolchain (installed wheel): accept a setuptools-built
+            # extension (libevents.cpython-*.so from setup.py) — same C ABI,
+            # dlopen'd via ctypes just the same
+            import glob as _glob
+
+            others = sorted(_glob.glob(os.path.join(_CPP_DIR,
+                                                    "libevents*.so")))
+            if os.path.exists(_LIB_PATH):
+                path = _LIB_PATH
+            elif others:
+                path = others[0]
+            else:
+                raise
+        lib = ctypes.CDLL(path)
         lib.compute_successor_flat.restype = ctypes.c_int
         lib.compute_successor_flat.argtypes = [
             _i64p, ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _i64p, _i64p]

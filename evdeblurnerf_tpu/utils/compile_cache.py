@@ -58,15 +58,35 @@ def enable(cache_dir: str = "auto") -> str | None:
     but already-compiled programs were not cached). Returns the resolved
     directory, or None when disabled. Never raises: an unusable directory
     downgrades to a warning and leaves caching off.
+
+    ``auto`` activates only on accelerator backends: XLA:CPU AOT reloads
+    log a spurious machine-feature mismatch ("could lead to SIGILL") per
+    program, and CPU executables genuinely are host-ISA-specific, so a
+    shared/home cache dir is unsafe to reuse across machines. CPU runs
+    that want the cache (e.g. same-machine restart loops) pass an explicit
+    directory or set the env dir.
     """
     resolved = resolve_dir(cache_dir)
     if resolved is None:
         return None
     import jax
 
+    if (cache_dir == "auto" and DIR_ENV not in os.environ
+            and jax.default_backend() == "cpu"):
+        return None
+
     try:
         os.makedirs(resolved, exist_ok=True)
+        changed = jax.config.jax_compilation_cache_dir != resolved
         jax.config.update("jax_compilation_cache_dir", resolved)
+        if changed:
+            # jax latches its cache object to the directory seen at first
+            # use; without a reset, a dir change after any compilation
+            # silently keeps writing to the old directory
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc)
+
+            _cc.reset_cache()
     except Exception as exc:  # unwritable dir, read-only fs, ...
         import warnings
 
