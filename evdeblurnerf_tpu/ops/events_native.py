@@ -44,15 +44,20 @@ def _load_library() -> Optional[ctypes.CDLL]:
         except Exception:
             # no toolchain (installed wheel): accept a setuptools-built
             # extension (libevents.cpython-*.so from setup.py) — same C ABI,
-            # dlopen'd via ctypes just the same
+            # dlopen'd via ctypes just the same. Never fall back to a binary
+            # OLDER than events.cpp: a failed rebuild of stale sources must
+            # take the numpy path, not silently run outdated kernels.
             import glob as _glob
 
-            others = sorted(_glob.glob(os.path.join(_CPP_DIR,
-                                                    "libevents*.so")))
-            if os.path.exists(_LIB_PATH):
-                path = _LIB_PATH
-            elif others:
-                path = others[0]
+            src_mtime = os.path.getmtime(os.path.join(_CPP_DIR,
+                                                      "events.cpp"))
+            cands = sorted(_glob.glob(os.path.join(_CPP_DIR,
+                                                   "libevents*.so")),
+                           key=lambda p: (p != _LIB_PATH, p))
+            fresh = [p for p in cands
+                     if os.path.getmtime(p) >= src_mtime]
+            if fresh:
+                path = fresh[0]
             else:
                 raise
         lib = ctypes.CDLL(path)

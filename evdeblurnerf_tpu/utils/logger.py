@@ -72,9 +72,9 @@ class Logger:
         rec = {"tag": tag, "value": float(value), "step": int(step),
                "t": round(time.time() - self._t0, 3)}
         self._jsonl.write(json.dumps(rec) + "\n")
-        # line-flushed so metrics.jsonl works as a liveness signal
-        # (tools/train_supervisor.py) and for tail -f; i_print cadence makes
-        # this a few syscalls per hundred steps
+        # line-flushed so metrics.jsonl is tail -f-able as an external
+        # liveness signal; the supervisor itself watches the child's
+        # unbuffered stdout (tools/train_supervisor.py sets PYTHONUNBUFFERED)
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_scalar(tag, float(value), step)

@@ -6,9 +6,10 @@ tests pin what can drift silently in-tree.
 """
 
 import os
-import tomllib
 
 import pytest
+
+tomllib = pytest.importorskip("tomllib")  # stdlib only on python >= 3.11
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
@@ -49,8 +50,8 @@ def test_cli_module_parses_reference_config():
     reference config format (full e2e covered by test_train)."""
     from evdeblurnerf_tpu.config import parse_args
 
-    cfgs = glob_ref = "/root/reference/configs"
-    if not os.path.isdir(glob_ref):
+    cfgs = "/root/reference/configs"
+    if not os.path.isdir(cfgs):
         pytest.skip("reference configs unavailable")
     import glob
 

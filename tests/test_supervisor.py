@@ -73,6 +73,89 @@ def test_stall_detection_kills_and_restarts(tmp_path):
     assert marker.exists()
 
 
+def test_block_buffered_child_is_not_falsely_stalled(tmp_path):
+    """A healthy child that prints WITHOUT flushing must not be stall-killed:
+    the supervisor launches children with PYTHONUNBUFFERED=1 so piped stdout
+    arrives line-by-line instead of in ~8 KB blocks."""
+    counter = tmp_path / "starts"
+    cmd = _child_script(tmp_path, f"""
+        import os, time
+        p = {str(counter)!r}
+        n = int(open(p).read()) if os.path.exists(p) else 0
+        open(p, "w").write(str(n + 1))
+        for i in range(5):
+            print("step", i)   # deliberately unflushed
+            time.sleep(1.0)
+    """)
+    code = train_supervisor.run_supervised(
+        cmd.split(), max_restarts=1, backoff=0.01, stall_timeout=2.5)
+    assert code == 0
+    assert counter.read_text() == "1"  # never killed/restarted
+
+
+def test_healthy_window_resets_restart_budget(tmp_path):
+    """Crashes separated by healthy runs must not exhaust max_restarts:
+    surviving past --healthy_window resets the budget."""
+    counter = tmp_path / "starts"
+    cmd = _child_script(tmp_path, f"""
+        import os, sys, time
+        p = {str(counter)!r}
+        n = int(open(p).read()) if os.path.exists(p) else 0
+        open(p, "w").write(str(n + 1))
+        print("up", flush=True)
+        time.sleep(0.7)        # outlive the healthy window
+        sys.exit(0 if n >= 2 else 3)
+    """)
+    code = train_supervisor.run_supervised(
+        cmd.split(), max_restarts=1, backoff=0.01, stall_timeout=0.0,
+        healthy_window=0.5)
+    assert code == 0
+    # two crashes + final success: needs 3 starts, >1 restart budget
+    assert counter.read_text() == "3"
+
+
+def test_sigint_kills_detached_child(tmp_path):
+    """Ctrl-C on the supervisor must not orphan the (own-session) child."""
+    import signal
+    import time
+
+    pidfile = tmp_path / "child.pid"
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import os, time
+        open({str(pidfile)!r}, "w").write(str(os.getpid()))
+        print("up", flush=True)
+        time.sleep(600)
+    """))
+    sup = subprocess.Popen(
+        [sys.executable, os.path.join(TOOLS, "train_supervisor.py"),
+         "--max_restarts", "0", "--cmd", f"{sys.executable} {child}"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 20
+        while not pidfile.exists() and time.time() < deadline:
+            time.sleep(0.1)
+        assert pidfile.exists(), "child never started"
+        pid = int(pidfile.read_text())
+        time.sleep(0.2)
+        sup.send_signal(signal.SIGINT)
+        sup.wait(timeout=15)
+        # child process group was SIGKILLed by the forwarding handler
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                break
+            time.sleep(0.1)
+        else:
+            os.kill(pid, 9)
+            pytest.fail("child orphaned after supervisor SIGINT")
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+
+
 def test_cli_passthrough_builds_run_nerf_cmd(tmp_path, capsys):
     """main() with --cmd substitutes the child and forwards the rest."""
     out = tmp_path / "argv"

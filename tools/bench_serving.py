@@ -71,7 +71,8 @@ def run(artifact: str, calls: int = 30, in_flight: int = 4,
     for _ in range(calls):
         rgb, depth, _ = r(rays)
         pending.append((rgb, depth))
-        if len(pending) > in_flight:
+        # keep at most `in_flight` calls outstanding (0 = fully synchronous)
+        while len(pending) > max(in_flight, 0):
             a, b = pending.pop(0)
             np.asarray(a), np.asarray(b)
     for a, b in pending:

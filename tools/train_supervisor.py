@@ -52,16 +52,41 @@ def _event(**kw):
 
 
 def run_supervised(cmd, max_restarts=5, backoff=10.0, stall_timeout=0.0,
-                   _sleep=time.sleep) -> int:
-    """Run ``cmd`` under supervision; returns the final exit code."""
+                   healthy_window=1800.0, _sleep=time.sleep) -> int:
+    """Run ``cmd`` under supervision; returns the final exit code.
+
+    ``healthy_window``: a child that survives this many seconds resets the
+    restart budget and backoff — occasional transient crashes over a
+    multi-hour run must not permanently exhaust ``max_restarts``.
+    """
     attempt = 0
     while True:
         attempt += 1
-        last_output = [time.monotonic()]
+        started = time.monotonic()
+        last_output = [started]
         _event(event="start", attempt=attempt, cmd=cmd)
+        # Liveness is read from the child's piped stdout; without -u the
+        # child would block-buffer (~8 KB) when piped and healthy runs
+        # would look silent for many i_print intervals.
+        env = dict(os.environ, PYTHONUNBUFFERED="1")
         child = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            start_new_session=True)  # own session: killpg touches only it
+            start_new_session=True,  # own session: killpg touches only it
+            env=env)
+
+        def _kill_child(signum=None, frame=None):
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            if signum is not None:  # re-raise default behaviour
+                signal.signal(signum, signal.SIG_DFL)
+                os.kill(os.getpid(), signum)
+
+        # The child's own session means terminal SIGINT no longer reaches
+        # it; forward supervisor termination so no orphan holds the device.
+        prev_int = signal.signal(signal.SIGINT, _kill_child)
+        prev_term = signal.signal(signal.SIGTERM, _kill_child)
 
         def pump(stream=child.stdout):
             for line in iter(stream.readline, b""):
@@ -73,32 +98,41 @@ def run_supervised(cmd, max_restarts=5, backoff=10.0, stall_timeout=0.0,
         t.start()
 
         stalled = False
-        while True:
-            try:
-                code = child.wait(timeout=1.0)
-                break
-            except subprocess.TimeoutExpired:
-                silent = time.monotonic() - last_output[0]
-                if stall_timeout > 0 and silent > stall_timeout:
-                    stalled = True
-                    _event(event="stall", attempt=attempt,
-                           silent_s=round(silent, 1))
-                    try:
-                        os.killpg(child.pid, signal.SIGKILL)
-                    except ProcessLookupError:
-                        pass
-                    code = child.wait()
+        try:
+            while True:
+                try:
+                    code = child.wait(timeout=1.0)
                     break
-        t.join(timeout=5.0)
+                except subprocess.TimeoutExpired:
+                    silent = time.monotonic() - last_output[0]
+                    if (stall_timeout > 0 and silent > stall_timeout
+                            and child.poll() is None):
+                        stalled = True
+                        _event(event="stall", attempt=attempt,
+                               silent_s=round(silent, 1))
+                        _kill_child()
+                        code = child.wait()
+                        break
+            t.join(timeout=5.0)
+        finally:
+            signal.signal(signal.SIGINT, prev_int)
+            signal.signal(signal.SIGTERM, prev_term)
 
-        if code == 0 and not stalled:
+        # code == 0 wins even when the stall flag was raced by a normal
+        # exit (last print -> long final checkpoint save -> exit 0): a
+        # finished run must not be relaunched.
+        if code == 0:
             _event(event="done", attempt=attempt)
             return 0
+        if healthy_window > 0 and time.monotonic() - started > healthy_window:
+            _event(event="budget_reset", attempt=attempt,
+                   ran_s=round(time.monotonic() - started, 1))
+            attempt = 0
         reason = "stall" if stalled else f"exit={code}"
         if attempt > max_restarts:
             _event(event="giveup", attempt=attempt, reason=reason)
             return code if code != 0 else 1
-        delay = min(backoff * (2 ** (attempt - 1)), 300.0)
+        delay = min(backoff * (2 ** max(attempt - 1, 0)), 300.0)
         _event(event="restart", attempt=attempt, reason=reason,
                backoff_s=round(delay, 1))
         _sleep(delay)
@@ -116,6 +150,9 @@ def main(argv=None):
                     help="kill + restart after this many seconds without "
                          "child output (0 = disabled). Size it to several "
                          "i_print intervals")
+    ap.add_argument("--healthy_window", type=float, default=1800.0,
+                    help="a child that survives this long resets the "
+                         "restart budget (0 = never reset)")
     ap.add_argument("--cmd", default=None,
                     help="child command line (shlex-split) instead of "
                          "'python run_nerf.py <rest>'")
@@ -129,7 +166,8 @@ def main(argv=None):
                os.path.join(REPO_ROOT, "run_nerf.py")] + rest
     return run_supervised(cmd, max_restarts=cli.max_restarts,
                           backoff=cli.backoff,
-                          stall_timeout=cli.stall_timeout)
+                          stall_timeout=cli.stall_timeout,
+                          healthy_window=cli.healthy_window)
 
 
 if __name__ == "__main__":
