@@ -36,7 +36,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
+from .mesh import DATA_AXIS  # single source of truth for the axis name
+
 MODEL_AXIS = "model"
 
 # (mesh, data_axis, model_axis) registered by the train loop / dryrun;

@@ -103,6 +103,7 @@ def export_renderer(model, variables, chunk: int = 32768, crf=None,
         "platforms": list(exported.platforms),
         "nr_devices": int(exported.nr_devices),
         "crf_folded": crf is not None,
+        "skip_learn_crf": bool(skip_learn_crf),
         "jax_version": jax.__version__,
     }
     header.update(meta or {})
@@ -150,14 +151,18 @@ class ServingRenderer:
             self._sharding = NamedSharding(mesh, P("data"))
 
     def __call__(self, rays):
-        rays = jnp.asarray(rays, jnp.float32)
-        if rays.shape != (self.chunk, 3, 2):
+        if tuple(np.shape(rays)) != (self.chunk, 3, 2):
             raise ValueError(
                 f"this artifact renders fixed chunks of shape "
-                f"({self.chunk}, 3, 2); got {tuple(rays.shape)} — pad or "
-                f"re-export with a different --export_chunk")
+                f"({self.chunk}, 3, 2); got {tuple(np.shape(rays))} — pad "
+                f"or re-export with a different --export_chunk")
         if self._sharding is not None:
-            rays = jax.device_put(rays, self._sharding)
+            # one sharded host transfer; jnp.asarray first would commit to
+            # the default device and pay a second device->device reshard
+            rays = jax.device_put(np.asarray(rays, np.float32),
+                                  self._sharding)
+        else:
+            rays = jnp.asarray(rays, jnp.float32)
         return self._call(rays)
 
     def render_poses(self, poses, H: Optional[int] = None,
@@ -212,7 +217,11 @@ def export_experiment(args, out_path: str, chunk: int = 32768,
 
     ckpt_dir = (args.ft_path if args.ft_path
                 else os.path.join(args.basedir, args.expname, "checkpoints"))
-    restored = CheckpointManager(ckpt_dir).restore_latest(state)
+    mngr = CheckpointManager(ckpt_dir)
+    try:
+        restored = mngr.restore_latest(state)
+    finally:
+        mngr.close()
     if restored is None:
         raise FileNotFoundError(f"no checkpoint found under {ckpt_dir}")
     step, state = int(restored[0]), restored[1]
@@ -225,10 +234,20 @@ def export_experiment(args, out_path: str, chunk: int = 32768,
     if devices > 1:
         from .parallel import create_mesh
 
-        mesh = create_mesh(jax.devices()[:devices])
+        avail = jax.devices()
+        if len(avail) < devices:
+            raise ValueError(
+                f"export requested {devices} devices but this process has "
+                f"{len(avail)} — the artifact would silently shard "
+                f"differently than asked")
+        mesh = create_mesh(avail[:devices])
     exported, meta = export_renderer(
         model, variables, chunk=chunk, mesh=mesh,
         crf=crf, crf_params=state.params["crf"],
+        # match the training-time render of this same checkpoint: the
+        # learned CRF head only applies once training has reached
+        # tone_mapping_start_learn_iter (train/loop.py render cadence)
+        skip_learn_crf=step < args.tone_mapping_start_learn_iter,
         meta={"H": llff.h, "W": llff.w,
               "K": np.asarray(llff.K, np.float64).tolist(),
               "near": float(llff.near), "far": float(llff.far),

@@ -50,9 +50,8 @@ def main():
 
     from evdeblurnerf_tpu import config
     from evdeblurnerf_tpu.train.checkpoint import CheckpointManager
-    from evdeblurnerf_tpu.train.loop import build_datasets, build_model
-    from evdeblurnerf_tpu.train.optim import build_optimizer
-    from evdeblurnerf_tpu.train.state import create_train_state
+    from evdeblurnerf_tpu.train.loop import (build_datasets,
+                                             build_initial_state, build_model)
     from evdeblurnerf_tpu.utils import checkpoint_convert as cc
 
     args = config.parse_args(rest)
@@ -82,20 +81,19 @@ def main():
     crf_flat = cc.convert_crf_state_dict(crf_sd)
     print(f"converted {len(net_sd)} network + {len(crf_sd)} CRF tensors")
 
-    # build the model exactly as training would, then transplant
-    import jax
+    # build the model + TrainState exactly as training would (incl. the
+    # --colornet_weightdecay optimizer chain: the saved opt_state tree must
+    # match training's restore template), then transplant. Only the frame
+    # dataset is needed (camera/AABB) — skip replaying the event-stream
+    # preprocessing + EDI prior an events config would otherwise pay here.
+    import copy
 
-    llff, _ = build_datasets(args)
+    dargs = copy.copy(args)
+    dargs.use_events = False
+    llff, _ = build_datasets(dargs)
     _, _, model, crf = build_model(args, llff)
-    tx = build_optimizer(args.lrate, args.lrate_decay,
-                         args.lrate_warmup_iters, args.lrate_warmup_factor)
-    init_ids = np.arange(min(64, llff.n_rays))
-    batch = llff.batch(init_ids)
-    rays_info = {k: batch[k] for k in
-                 ("images_idx", "rays_x", "rays_y", "poses")}
-    state = create_train_state(model, crf, tx, jax.random.PRNGKey(args.seed),
-                               batch["rays"], rays_info,
-                               crf_identity_prefit=False)
+    state, _ = build_initial_state(args, llff, model, crf,
+                                   crf_identity_prefit=False)
 
     nerf_vars = {"params": state.params["nerf"]}
     if state.batch_stats:

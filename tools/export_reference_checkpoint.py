@@ -78,27 +78,24 @@ def main():
 
     from evdeblurnerf_tpu import config
     from evdeblurnerf_tpu.train.checkpoint import CheckpointManager
-    from evdeblurnerf_tpu.train.loop import build_datasets, build_model
-    from evdeblurnerf_tpu.train.optim import build_optimizer
-    from evdeblurnerf_tpu.train.state import create_train_state
+    from evdeblurnerf_tpu.train.loop import (build_datasets,
+                                             build_initial_state, build_model)
     from evdeblurnerf_tpu.utils import checkpoint_convert as cc
 
     args = config.parse_args(rest)
     config.resolve_event_thresholds(args)
 
-    import jax
+    # restore template built exactly as training built it (incl. the
+    # --colornet_weightdecay optimizer chain — the opt_state tree structure
+    # must match or orbax restore fails); only the frame dataset is needed
+    import copy
 
-    llff, _ = build_datasets(args)
+    dargs = copy.copy(args)
+    dargs.use_events = False
+    llff, _ = build_datasets(dargs)
     _, _, model, crf = build_model(args, llff)
-    tx = build_optimizer(args.lrate, args.lrate_decay,
-                         args.lrate_warmup_iters, args.lrate_warmup_factor)
-    init_ids = np.arange(min(64, llff.n_rays))
-    batch = llff.batch(init_ids)
-    rays_info = {k: batch[k] for k in
-                 ("images_idx", "rays_x", "rays_y", "poses")}
-    state = create_train_state(model, crf, tx, jax.random.PRNGKey(args.seed),
-                               batch["rays"], rays_info,
-                               crf_identity_prefit=False)
+    state, _ = build_initial_state(args, llff, model, crf,
+                                   crf_identity_prefit=False)
 
     ckpt_dir = cli.ckpt or os.path.join(args.basedir, args.expname,
                                         "checkpoints")
