@@ -16,7 +16,6 @@ Usage:
       --out scene.evdnsrv [--export_chunk 32768]
 """
 
-import argparse
 import os
 import sys
 
@@ -32,27 +31,10 @@ if os.environ.get("JAX_PLATFORMS"):
 
 
 def main():
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", required=True, help="output artifact path")
-    ap.add_argument("--export_chunk", type=int, default=32768,
-                    help="fixed rays-per-call chunk baked into the program")
-    ap.add_argument("--export_devices", type=int, default=1,
-                    help="export data-parallel over this many devices "
-                         "(rays sharded; the artifact then requires exactly "
-                         "this many devices at serving time)")
-    cli, rest = ap.parse_known_args()
+    # thin wrapper: the packaged CLI (``evdn-export``) carries the logic
+    from evdeblurnerf_tpu.cli import export_main
 
-    from evdeblurnerf_tpu import config, serving
-    from evdeblurnerf_tpu.utils import compile_cache
-
-    args = config.parse_args(rest)
-    compile_cache.enable(getattr(args, "compilation_cache_dir", "auto"))
-    meta = serving.export_experiment(args, cli.out, chunk=cli.export_chunk,
-                                     devices=cli.export_devices)
-    size = os.path.getsize(cli.out)
-    print(f"wrote {cli.out} ({size / 1e6:.1f} MB, step={meta['step']}, "
-          f"chunk={cli.export_chunk}, devices={meta['nr_devices']}, "
-          f"platforms={meta['platforms']})")
+    export_main()
 
 
 if __name__ == "__main__":
