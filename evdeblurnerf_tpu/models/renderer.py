@@ -80,7 +80,9 @@ class RenderConfig:
     fine_app_n_comp: Tuple[int, ...] = (64, 16, 16)
     fine_n_voxels: int = 134217984
     fine_app_actfn: str = "none"
-    # TPU-native: bf16 forward table gathers (backward stays f32);
+    # TPU-native: bf16 forward table gathers (the gather backward stays an
+    # exact f32 scatter-add; with line_matmul the LINE backward inherits
+    # bf16 unless EVDN_LINE_GRAD_PRECISION=highest — see ops/triplane.py);
     # off by default for exact f32 parity
     triplane_bf16: bool = False
     # TPU-native: line-table rows via one-hot MXU matmul (backward becomes

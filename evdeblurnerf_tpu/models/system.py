@@ -184,6 +184,23 @@ class EvDeblurNeRF(nn.Module):
             self.view_embed = None
 
         if kcfg.use_awp:
+            # ref run_nerf.py:224 constructs AWP with use_origin=True
+            # unconditionally; combined with RBK use_origin=False the
+            # ray counts disagree (ptnum-1 expanded vs ptnum proposed)
+            # and the reference crashes with an opaque reshape error.
+            # Fail fast with the actual constraint instead.
+            if kcfg.kernel_type == "RBK" and not kcfg.rbk_use_origin:
+                raise ValueError(
+                    "kernel_use_awp requires kernel_rbk_use_origin: the "
+                    "AWP head proposes ptnum weights (origin included), "
+                    "matching the reference's hardcoded use_origin=True "
+                    "(ref run_nerf.py:224)")
+            # ref renderer.py:31: PBE composites the coarse CRR feature,
+            # which only exists alongside a fine pass
+            if kcfg.kernel_type == "PBE" and cfg.N_importance <= 0:
+                raise ValueError(
+                    "Mixing PBE and AWP is not supported when "
+                    "N_importance == 0 (ref renderer.py:31)")
             self.awpnet = AdaptiveWeightProposal(
                 num_motion=kcfg.ptnum - 1,
                 D_sam=kcfg.awp_sam_emb_depth, W_sam=kcfg.awp_sam_emb_width,

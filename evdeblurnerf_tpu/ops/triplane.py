@@ -20,12 +20,12 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from . import line_matmul
-
-# grid-gradient matmul precision: "highest" keeps products exact (only
-# f32 summation order differs from a scatter-add); "default" rounds the
-# incoming gradients to bf16 (~6x faster MXU passes)
-LINE_GRAD_PRECISION = os.environ.get("EVDN_LINE_GRAD_PRECISION", "highest")
+# line-table gradient precision under --triplane_bf16 + line_matmul:
+# "default" lets autodiff reuse the bf16 forward dot form — the incoming
+# gradients round to bf16 (~6x faster MXU pass; the measured and
+# quality-validated default); "highest" forces an exact-f32 backward via
+# custom_vjp (parity-debugging escape hatch). f32 tables are always exact.
+LINE_GRAD_PRECISION = os.environ.get("EVDN_LINE_GRAD_PRECISION", "default")
 
 # Plane/line axis assignment (ref: voxnerf.py:99-100).
 MAT_MODE = ((0, 1), (0, 2), (1, 2))
@@ -290,6 +290,31 @@ def _line_rows_matmul(packed, b, table_bf16):
         return jax.lax.dot(onehot.astype(dt), packed.astype(dt),
                            precision=precision,
                            preferred_element_type=jnp.float32)
+
+    if table_bf16 and LINE_GRAD_PRECISION == "highest":
+        # EVDN_LINE_GRAD_PRECISION=highest: bf16 forward rows, EXACT f32
+        # backward (the incoming gradients are NOT rounded to bf16). Kept
+        # off the default path: autodiff-through-dot is the measured form,
+        # and a custom_vjp boundary cost the round-2 Pallas variant its
+        # fused backward epilogues.
+        @jax.custom_vjp
+        def take_exact(packed, b):
+            return take(packed, b)
+
+        def fwd(packed, b):
+            return take(packed, b), b
+
+        def bwd(b, g):
+            onehot = (b[:, None]
+                      == jnp.arange(D, dtype=b.dtype)[None, :])
+            d_packed = jax.lax.dot(
+                onehot.astype(jnp.float32).T, g.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            return (d_packed, None)
+
+        take_exact.defvjp(fwd, bwd)
+        return take_exact(packed, b)
 
     return jax.checkpoint(
         take, policy=jax.checkpoint_policies.nothing_saveable)(packed, b)

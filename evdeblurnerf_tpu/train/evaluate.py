@@ -56,8 +56,9 @@ def render_poses(variables, chunk_fn, poses, H: int, W: int, K,
     """Render each [3,4] pose; returns (rgbs [N,H,W,3], depths [N,H,W]).
 
     All poses' rays are streamed through the jitted chunk program as one
-    pipeline: jax dispatch is asynchronous, so up to ``max_inflight`` chunks
-    are in flight on the device while the host converts finished chunks —
+    pipeline: jax dispatch is asynchronous, so between dispatches up to
+    ``max_inflight`` undrained chunks sit on the device (momentarily one
+    more right after a dispatch, while the host blocks on the oldest) —
     the per-chunk host sync of the naive loop (dispatch, then immediately
     ``np.asarray``) left the device idle during every host copy
     (PERF_NOTES.md round 3). Ref: networks/renderer.py:594-626 render_path.
@@ -106,7 +107,7 @@ def render_poses(variables, chunk_fn, poses, H: int, W: int, K,
 
     for rays in ray_chunks():
         pending.append(chunk_fn(variables, rays))
-        if len(pending) > max_inflight:
+        while len(pending) > max_inflight:  # bound undrained results
             drain_one()
     while pending:
         drain_one()

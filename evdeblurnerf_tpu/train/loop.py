@@ -421,7 +421,9 @@ def _train_impl(args, max_iters: Optional[int] = None):
 
     N_iters = args.N_iters if max_iters is None else min(args.N_iters,
                                                          start + max_iters)
-    fine_loss_weight = 0.1
+    # ref run_nerf.py:417: the flags set only the INITIAL value; the 10k
+    # recomputes below hardcode 0.1/0.9 upstream (flag-dead end_ratio quirk)
+    fine_loss_weight = args.kernel_awp_fine_loss_start_ratio
     base_key = jax.random.PRNGKey(args.seed + 1)
 
     try:
@@ -436,13 +438,17 @@ def _train_impl(args, max_iters: Optional[int] = None):
             batch = next(img_prefetch)
             ev_batch = next(ev_prefetch) if events_active else None
 
+            # reference-literal recompute (ref run_nerf.py:463-471): runs
+            # only once the AWP render exists (kernel active, not the
+            # pre-start naive phase), with start/end ratios HARDCODED
+            # 0.1/0.9 upstream and an N_iters+1 horizon — quirks
+            # replicated for trajectory parity
             if (args.kernel_use_awp and args.kernel_awp_use_coarse_to_fine_opt
-                    and i % 10000 == 0):
+                    and not force_naive and i % 10000 == 0):
                 fine_loss_weight = exponential_scale_fine_loss_weight(
-                    N_iters=args.N_iters,
+                    N_iters=args.N_iters + 1,
                     kernel_start_iter=args.kernel_start_iter,
-                    start_ratio=args.kernel_awp_fine_loss_start_ratio,
-                    end_ratio=args.kernel_awp_fine_loss_end_ratio, iter=i)
+                    start_ratio=0.1, end_ratio=0.9, iter=i)
 
             sw = compute_schedule_weights(
                 args, i, kernel_end_warmup_iter=kernel_end_warmup_iter,

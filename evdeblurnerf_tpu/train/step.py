@@ -344,8 +344,12 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                 aux["loss"] = loss_sum / accum
             if not getattr(args, "no_log_grads_norm", False):
                 # per-parameter L2 grad norms (ref: utils/grads.py:5-17,
-                # logged by default, run_nerf.py:736-773) — scalars only,
-                # transferred lazily at logging cadence
+                # logged by default, run_nerf.py:736-773). Computed every
+                # step (the reference computes at i_tensorboard cadence):
+                # the reductions re-read the ~200 MB gradient tree the Adam
+                # update streams anyway — well under 1 ms of the step — and
+                # only the scalars transfer, lazily, at logging cadence.
+                # --no_log_grads_norm removes them entirely.
                 for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
                     name = "/".join(str(getattr(p, "key", p)) for p in path)
                     aux[f"grads/{name}"] = jnp.sqrt(jnp.sum(leaf * leaf))

@@ -190,3 +190,43 @@ def test_positional_encoding_double_angle():
         f16 = np.asarray(fast.astype(jnp.bfloat16), np.float32)
         e16 = np.asarray(exact.astype(jnp.bfloat16), np.float32)
         assert np.abs(f16 - e16).max() <= 2.0 ** -8 + 1e-7
+
+
+def test_awp_unsupported_combinations_fail_fast():
+    """RBK+AWP without origin and PBE+AWP without a fine pass crash with
+    opaque shape errors upstream (the reference hardcodes AWP
+    use_origin=True, run_nerf.py:224, and asserts the PBE case,
+    renderer.py:31); here both fail at construction with the constraint."""
+    import pytest
+
+    from evdeblurnerf_tpu.models.renderer import RenderConfig
+    from evdeblurnerf_tpu.models.system import EvDeblurNeRF, KernelConfig
+
+    K = ((50.0, 0.0, 20.0), (0.0, 50.0, 16.0), (0.0, 0.0, 1.0))
+    cfg = RenderConfig(
+        mode="c2f", N_samples=4, N_importance=4, use_viewdirs=True,
+        multires=4, multires_views=2, ndc=True, near=0.0, far=1.0,
+        H=32, W=40, focal=50.0,
+        aabb=((-1.6, -1.6, -1.0), (1.6, 1.6, 1.0)),
+        coarse_n_voxels=4096, fine_n_voxels=8192,
+        coarse_app_n_comp=(4, 2, 2), fine_app_n_comp=(4, 2, 2),
+        coarse_hidden_dim=8, coarse_hidden_dim_color=8,
+        fine_hidden_dim=8, fine_hidden_dim_color=8,
+        fine_geo_feat_dim=8, coarse_app_dim=8, fine_app_dim=8,
+        kernel_type="RBK", use_awp=True)
+    kcfg = KernelConfig(kernel_type="RBK", ptnum=3, use_awp=True,
+                        rbk_use_origin=False)
+    rays = jnp.zeros((8, 3, 2))
+    with pytest.raises(ValueError, match="kernel_rbk_use_origin"):
+        EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=3, K=K).init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), rays, None,
+            force_naive=True)
+
+    import dataclasses
+
+    cfg0 = dataclasses.replace(cfg, N_importance=0, kernel_type="PBE")
+    kcfg0 = KernelConfig(kernel_type="PBE", ptnum=3, use_awp=True)
+    with pytest.raises(ValueError, match="N_importance == 0"):
+        EvDeblurNeRF(cfg=cfg0, kcfg=kcfg0, num_images=3, K=K).init(
+            jax.random.PRNGKey(0), jax.random.PRNGKey(0), rays, None,
+            force_naive=True)
