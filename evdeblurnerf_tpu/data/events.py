@@ -230,8 +230,11 @@ class LLFFEventsDataset:
         if self.spherify:
             bds = np.array([[self.closest_bds, self.furthest_bds]]).repeat(
                 int_poses.shape[0], axis=0)
+            # render_path=False: this runs per prefetched event batch and
+            # only needs the replayed poses, not the 120-pose circle
             int_poses, _, _ = pose_utils.spherify_poses(
-                int_poses, bds, state=self.spherify_partial)
+                int_poses, bds, state=self.spherify_partial,
+                render_path=False)
         return int_poses
 
     # ------------------------------------------------------------------
@@ -242,7 +245,9 @@ class LLFFEventsDataset:
         img_n, img_h, img_w, _ = images.shape
         tms_start = self.images_tms_start[i_images]
         tms_end = self.images_tms_end[i_images]
-        assert (tms_start < tms_end).all() and (tms_start > 0).all()
+        # t == 0 is a valid (rebased) first exposure start; only ordering
+        # and non-negativity matter for the searchsorted below
+        assert (tms_start < tms_end).all() and (tms_start >= 0).all()
 
         all_tms = np.concatenate(
             [np.linspace(s, e, steps) for s, e in zip(tms_start, tms_end)])

@@ -244,6 +244,10 @@ class LLFFDataset:
         data["render_poses"] = data["render_poses"][:, :3, :4]
 
         H, W, focal = data["poses"][0, :3, -1]
+        # scales are identically 1 when --datadownsample > 0 (the hwf row
+        # already holds the downsampled shape), so focal stays uncorrected
+        # for the extra downsample — the reference behaves the same
+        # (loader.py:167-171, 315-317); see docs/PARITY.md
         H_scale, W_scale = imgshape[0] / H, imgshape[1] / W
         data["K"] = np.array([[focal * W_scale, 0, 0.5 * W * W_scale],
                               [0, focal * H_scale, 0.5 * H * H_scale],

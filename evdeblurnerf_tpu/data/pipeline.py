@@ -28,8 +28,16 @@ def endless(sampler_factory: Callable[[], Iterator]):
         if it is None:
             yield None
             continue
+        produced = False
         for x in it:
+            produced = True
             yield x
+        if not produced:
+            # an empty epoch would otherwise busy-spin this loop forever
+            # with the consumer blocked (e.g. batch size > dataset size)
+            raise ValueError(
+                "epoch sampler produced no batches — is the batch size "
+                "(N_rand / events_N_rand) larger than the dataset?")
 
 
 class Prefetcher:

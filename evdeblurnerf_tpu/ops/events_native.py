@@ -273,7 +273,13 @@ def gather_successor_np(query_idx, query_hops, successor_map, polarities):
 
 def gather_successor(query_idx, query_hops, successor_map, polarities):
     """Follow the successor map ``hops+1`` steps per query, accumulating
-    +/- polarity sums. C++ when available."""
+    +/- polarity sums. C++ when available.
+
+    Contract: ``hops`` must be < the pixel's remaining chain length (the
+    sampler's eligibility filter guarantees this). A chain END is encoded
+    as a self-loop, so hops past it silently RE-accumulate the terminal
+    event's polarity each extra step — callers must not rely on clamping.
+    Out-of-range ``query_idx`` returns the invalid (-1, 0, 0) triple."""
     lib = _load_library()
     if lib is None:
         return gather_successor_np(query_idx, query_hops, successor_map,

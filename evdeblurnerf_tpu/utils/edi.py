@@ -30,6 +30,10 @@ def interpolate_subpixel(x, y, v, w, h, image=None):
             np.logical_or(x_ref != x, x_round is np.floor),
             np.logical_or(y_ref != y, y_round is np.floor),
             x_ref < w, y_ref < h])
+        # NOTE: no >= 0 check, exactly like the reference
+        # (ref utils/edi.py:31-33): slightly negative rectified coords
+        # floor to -1 and np.add.at wraps them onto the far edge. The EDI
+        # host-oracle parity test pins this — do not "fix" unilaterally.
         x_ref = x_ref[valid]
         y_ref = y_ref[valid]
         if x_ref.shape[0] > 0:

@@ -63,9 +63,14 @@ def recenter_poses(poses, c2w=None, return_c2w=False):
     return poses_
 
 
-def spherify_poses(poses, bds, state=None, return_state=False):
+def spherify_poses(poses, bds, state=None, return_state=False,
+                   render_path=True):
     """Spherify a 360 capture; the 5-tuple ``state`` makes the transform
-    replayable on other pose sets (ref: utils/data.py:189-253)."""
+    replayable on other pose sets (ref: utils/data.py:189-253).
+
+    ``render_path=False`` skips building the 120-pose circular render path
+    (pure replay — the event-batch pose interpolation calls this per
+    prefetched batch and only needs ``poses_reset``)."""
     c2w, up, sc, radcircle, zh = state if state is not None else [None] * 5
 
     def p34_to_44(p):
@@ -106,18 +111,24 @@ def spherify_poses(poses, bds, state=None, return_state=False):
         poses_reset[:, :3, 3] *= sc
         bds = bds * sc
 
-    new_poses = []
-    for th in np.linspace(0.0, 2.0 * np.pi, 120):
-        camorigin = np.array([radcircle * np.cos(th), radcircle * np.sin(th), zh])
-        up_ = np.array([0, 0, -1.0])
-        vec2 = normalize(camorigin)
-        vec0 = normalize(np.cross(vec2, up_))
-        vec1 = normalize(np.cross(vec2, vec0))
-        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
-    new_poses = np.stack(new_poses, 0)
+    if render_path:
+        new_poses = []
+        for th in np.linspace(0.0, 2.0 * np.pi, 120):
+            camorigin = np.array([radcircle * np.cos(th),
+                                  radcircle * np.sin(th), zh])
+            up_ = np.array([0, 0, -1.0])
+            vec2 = normalize(camorigin)
+            vec0 = normalize(np.cross(vec2, up_))
+            vec1 = normalize(np.cross(vec2, vec0))
+            new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+        new_poses = np.stack(new_poses, 0)
 
-    new_poses = np.concatenate(
-        [new_poses, np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1)
+        new_poses = np.concatenate(
+            [new_poses,
+             np.broadcast_to(poses[0, :3, -1:],
+                             new_poses[:, :3, -1:].shape)], -1)
+    else:
+        new_poses = None
     poses_reset = np.concatenate(
         [poses_reset[:, :3, :4],
          np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1)

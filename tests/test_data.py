@@ -207,3 +207,50 @@ def test_successor_sidecar(scene, tmp_path):
     succ, cnt, _, _ = compute_successor(ev.events[:, 0])
     np.testing.assert_array_equal(ev.events[:, 3], succ)
     np.testing.assert_array_equal(ev.events_num_successors, cnt)
+
+
+def test_endless_raises_on_empty_epoch():
+    """An epoch sampler that yields nothing must raise, not busy-spin with
+    the prefetch consumer blocked forever (batch size > dataset size)."""
+    import pytest
+
+    from evdeblurnerf_tpu.data.pipeline import endless
+
+    g = endless(lambda: iter([]))
+    with pytest.raises(ValueError, match="no batches"):
+        next(g)
+
+
+def test_spherify_render_path_false_replays_identically():
+    """render_path=False (the per-batch replay fast path) returns the same
+    replayed poses as the full call."""
+    import numpy as np
+
+    from evdeblurnerf_tpu.utils import pose as pose_utils
+
+    rng = np.random.default_rng(0)
+    # plausible c2w poses around a ring
+    poses = []
+    for th in np.linspace(0, 2 * np.pi, 7)[:-1]:
+        o = np.array([np.cos(th), np.sin(th), 0.3]) * 3.0
+        z = o / np.linalg.norm(o)
+        x = np.cross(np.array([0, 0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        poses.append(np.stack([x, y, z, o], 1))
+    poses = np.stack(poses).astype(np.float32)
+    hwf = np.broadcast_to(np.array([[32.], [40.], [50.]], np.float32),
+                          (poses.shape[0], 3, 1))
+    poses = np.concatenate([poses, hwf], -1)
+    bds = np.broadcast_to(np.array([[2.0, 6.0]], np.float32),
+                          (poses.shape[0], 2)).copy()
+
+    reset, new_poses, bds1, state = pose_utils.spherify_poses(
+        poses, bds.copy(), return_state=True)
+    r_full, n_full, b_full = pose_utils.spherify_poses(
+        poses, bds.copy(), state=state)
+    r_fast, n_fast, b_fast = pose_utils.spherify_poses(
+        poses, bds.copy(), state=state, render_path=False)
+    np.testing.assert_array_equal(r_full, r_fast)
+    np.testing.assert_array_equal(b_full, b_fast)
+    assert n_fast is None and n_full is not None
