@@ -56,6 +56,22 @@ class DSKBlurModel(nn.Module):
 
     def setup(self):
         assert self.random_mode in ("input", "output")
+        if self.random_hwindow > 0 and self.random_mode == "output":
+            # the reference accepts the flag but raises NotImplementedError
+            # at its first forward (ref: pdrf/blurmodel.py:196-197); fail at
+            # construction instead of silently training without jitter
+            raise NotImplementedError(
+                "kernel_random_mode='output' is unimplemented upstream "
+                "(ref pdrf/blurmodel.py:196) and here; use 'input'")
+        if self.depth_embed > 0:
+            # upstream this reads rays_info['ray_depth'], which NO caller
+            # ever provides (grep: one read, zero writes in the reference)
+            # — the flag is dead/broken there (marked deprecated). Fail
+            # loudly rather than silently ignoring the conditioning.
+            raise NotImplementedError(
+                "kernel_depth_embed is dead upstream (rays_info['ray_depth'] "
+                "is never provided; ref pdrf/blurmodel.py:29,157-161) and "
+                "not implemented here")
         assert self.kernel_type in ("DSK", "PBE")
         pattern_num = 1 if self.isglobal else self.num_img
         self.pattern_pos = self.param(

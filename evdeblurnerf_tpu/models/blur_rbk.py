@@ -3,7 +3,7 @@
 TPU-native reimplementation of ref: networks/dpnerf/blurmodel.py: three MLP
 branches over [view embedding, (optional PDRF ray features)] predict
 per-image screw-motion parameters ``r``, ``v`` (``num_motion`` each,
-initialized ~1e-5 via a tiny xavier gain) and sigmoid-normalized composite
+initialized near zero via the reference's tiny xavier gain — whose formula actually yields bound 1e-5*6/(W+out), ~1.6e-6 at defaults, not the 1e-5 its comment claims; replicated exactly) and sigmoid-normalized composite
 weights; rays are warped by the SE(3) exponential map per motion.
 
 The reference's branch loops re-read the branch *input* at every layer
@@ -60,7 +60,10 @@ class RigidBlurringModel(nn.Module):
         self.r_branch = [TorchLinear(self.W_r, name=f"r_branch_{i}")
                          for i in range(self.D_r)]
         # final r/v heads start near zero so training begins from the
-        # identity motion (ref: dpnerf/blurmodel.py:38-45)
+        # identity motion. The gain formula is the reference's verbatim
+        # (ref: dpnerf/blurmodel.py:38-45) INCLUDING its inverted factor:
+        # the resulting uniform bound is 1e-5*6/(W+out) (~1.6e-6 at
+        # defaults), not the 1e-5 the upstream comment claims.
         r_gain = 1e-5 / np.sqrt((self.W_r + out_r) / 6.0)
         self.r_linear = TorchLinear(out_r, kernel_init=xavier_uniform_init(r_gain),
                                     name="r_linear")
@@ -104,7 +107,11 @@ class RigidBlurringModel(nn.Module):
 
     def rbk_warp_pose(self, poses, r, v):
         """Warp [N, 3, 4] camera poses per motion
-        (ref: dpnerf/blurmodel.py:84-110). Returns [N, num_pt, 4, 4]."""
+        (ref: dpnerf/blurmodel.py:84-110). Returns [N, num_pt, 4, 4].
+
+        API-parity surface: defined but UNCALLED upstream as well (the
+        train path warps rays, not poses); tested for consistency with
+        rbk_warp in tests/test_blur.py."""
         N = poses.shape[0]
         r = r.reshape(N, 3, self.num_motion)
         v = v.reshape(N, 3, self.num_motion)
@@ -121,7 +128,12 @@ class RigidBlurringModel(nn.Module):
 
     def rbk_weighted_sum(self, rgb, depth, acc, extras, ccw):
         """Compose per-motion outputs with [N, num_pt] weights
-        (ref: dpnerf/blurmodel.py:112-127)."""
+        (ref: dpnerf/blurmodel.py:112-127).
+
+        API-parity surface: upstream the renderer calls this
+        (ref renderer.py:327-329); here the jitted renderer composes
+        inline (models/renderer.py), so this is the standalone twin —
+        tested against the inline form in tests/test_blur.py."""
         num_pt = self.num_pt
 
         def reduce(v):

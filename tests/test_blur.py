@@ -154,3 +154,112 @@ def test_dsk_pbe_pins_point0():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_rays[:, 0, :, 0]), 0.0,
                                atol=1e-7)
+
+
+@pytest.mark.fast
+def test_rbk_warp_pose_consistent_with_ray_warp():
+    """rbk_warp_pose (API-parity twin, uncalled upstream too) applies the
+    same screw motion as rbk_warp: rays regenerated from a warped pose
+    must equal the directly warped rays."""
+    from evdeblurnerf_tpu.models.blur_rbk import RigidBlurringModel
+
+    model = RigidBlurringModel(view_embed_cnl=8, num_motion=2, feat_ch=0,
+                               use_origin=True)
+    rng = np.random.default_rng(3)
+    N = 5
+    # random valid c2w poses
+    poses = []
+    for _ in range(N):
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y)],
+            [2*(x*y+w*z), 1 - 2*(x*x+z*z), 2*(y*z-w*x)],
+            [2*(x*z-w*y), 2*(y*z+w*x), 1 - 2*(x*x+y*y)]])
+        t = rng.normal(size=(3, 1))
+        poses.append(np.concatenate([R, t], 1))
+    poses = jnp.asarray(np.stack(poses).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(N, 6)).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.normal(size=(N, 6)).astype(np.float32) * 0.1)
+    dirs_cam = rng.normal(size=(N, 3)).astype(np.float32)
+
+    rays_o = poses[:, :3, 3]
+    rays_d = jnp.einsum("nij,nj->ni", poses[:, :3, :3],
+                        jnp.asarray(dirs_cam))
+    rays = jnp.stack([rays_o, rays_d], -1)
+
+    m = model.bind(model.init(jax.random.PRNGKey(0),
+                              jnp.stack([rays_o, rays_d], -1),
+                              jnp.zeros((N, 8))))
+    warped_rays = m.rbk_warp(rays, r, v)           # [N, num_pt, 3, 2]
+    warped_poses = m.rbk_warp_pose(poses, r, v)    # [N, num_pt, 4, 4]
+
+    o2 = warped_poses[:, :, :3, 3]
+    d2 = jnp.einsum("npij,nj->npi", warped_poses[:, :, :3, :3],
+                    jnp.asarray(dirs_cam))
+    np.testing.assert_allclose(np.asarray(warped_rays[..., 0]),
+                               np.asarray(o2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(warped_rays[..., 1]),
+                               np.asarray(d2), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.fast
+def test_rbk_weighted_sum_matches_manual_composition():
+    """rbk_weighted_sum (standalone twin of the renderer's inline
+    composition; upstream calls it at renderer.py:327-329) reduces
+    flattened per-motion outputs with the composite weights."""
+    from evdeblurnerf_tpu.models.blur_rbk import RigidBlurringModel
+
+    model = RigidBlurringModel(view_embed_cnl=8, num_motion=2, feat_ch=0,
+                               use_origin=True)
+    num_pt = model.num_pt
+    rng = np.random.default_rng(4)
+    N = 6
+    ccw = rng.dirichlet(np.ones(num_pt), size=N).astype(np.float32)
+    rgb = rng.normal(size=(N * num_pt, 3)).astype(np.float32)
+    depth = rng.normal(size=(N * num_pt,)).astype(np.float32)
+    acc = rng.normal(size=(N * num_pt,)).astype(np.float32)
+    extras = {"f": rng.normal(size=(N * num_pt, 4, 2)).astype(np.float32)}
+
+    m = model.bind(model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((N, 3, 2)), jnp.zeros((N, 8))))
+    got_rgb, got_depth, got_acc, got_extras = m.rbk_weighted_sum(
+        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(acc),
+        {k: jnp.asarray(v) for k, v in extras.items()}, jnp.asarray(ccw))
+
+    w = ccw[..., None]
+    np.testing.assert_allclose(
+        np.asarray(got_rgb), (rgb.reshape(N, num_pt, 3) * w).sum(1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_depth), (depth.reshape(N, num_pt) * ccw).sum(1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_acc), (acc.reshape(N, num_pt) * ccw).sum(1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got_extras["f"]),
+        (extras["f"].reshape(N, num_pt, 4, 2) * w[..., None]).sum(1),
+        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_dsk_dead_upstream_flags_fail_fast():
+    """random_mode='output' raises NotImplementedError at the reference's
+    first forward (pdrf/blurmodel.py:196); depth_embed reads a rays_info
+    key no caller ever provides. Both fail at construction here."""
+    from evdeblurnerf_tpu.models.blur_dsk import DSKBlurModel
+
+    def build(**kw):
+        m = DSKBlurModel(num_img=2, num_pt=3, kernel_hwindow=5,
+                         kernel_type="DSK", img_embed_cnl=4, **kw)
+        m.init(jax.random.PRNGKey(0), jax.random.PRNGKey(0),
+               jnp.zeros((4,)), jnp.zeros((4,), jnp.int32),
+               jnp.zeros((4, 4)), jnp.zeros((4, 3, 4)),
+               rays_x=jnp.zeros((4,)), rays_y=jnp.zeros((4,)))
+
+    with pytest.raises(NotImplementedError, match="output"):
+        build(random_mode="output", random_hwindow=0.25)
+    with pytest.raises(NotImplementedError, match="depth_embed"):
+        build(depth_embed=4)
