@@ -96,7 +96,7 @@ EXTRA_VARIANTS = {
     "rbk_no_awp": dict(kernel_type="RBK", kernel_ptnum=3,
                        kernel_rbk_use_origin=True, kernel_use_awp=False),
     "dsk_deep": dict(kernel_type="DSK", kernel_ptnum=3,
-                     kernel_spatial_embed=2, kernel_depth_embed=2,
+                     kernel_spatial_embed=2, kernel_spatialvariant_trans=True,
                      kernel_num_hidden=4),
 }
 
