@@ -1,0 +1,73 @@
+"""Replay of the lockstep TRAINING parity recording.
+
+``tools/lockstep_train_reference.py`` ran N full Adam steps through BOTH
+implementations from identical transplanted weights on identical batches
+(see lockstep_common.py) and recorded the actual PyTorch reference's loss
+trajectory. This test re-runs OUR production train step from the recorded
+initial weights and asserts the trajectories still agree — converting
+"the training dynamics match the reference" into a regression-checkable
+claim without torch or the reference checkout at test time.
+
+Agreement window: measured at generation, the two f32 implementations
+track to <=1e-3 relative loss through ~80 steps, after which accumulated
+float drift amplifies chaotically (Adam at the paper lr 5e-3; the
+``--selfdrift`` control shows the reference vs itself with a 1e-6 init
+perturbation diverges FASTER — 5.9e-3 at step 49 vs our 9.1e-4 — so the
+tail is the PROBLEM's sensitivity, not implementation bias). Replaying
+under a different XLA threading config (pytest's 8-virtual-device CPU
+flag) adds its own ~1e-7 rounding perturbation: the replay then drifts
+from its own generation run exactly as much as from the reference
+(measured, both ~4e-3 at step 50). The assertions therefore bound the
+50-step window at 2e-2 (5x margin over the measured env noise) and the
+tail only statistically.
+
+Reference trajectory exercised at generation: networks/renderer.py:266-391
+training forward, run_nerf.py:448-504 loss ladder, torch Adam + the
+run_nerf.py:603-613 LR rule.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import lockstep_common as lc  # noqa: E402
+
+CHECK_STEPS = 50      # strict-agreement window (measured: rel <= 4e-3)
+STRICT_RTOL = 2e-2
+
+
+@pytest.mark.slow
+def test_lockstep_training_matches_reference():
+    path = lc.golden_path()
+    assert os.path.exists(path), (
+        "lockstep recording missing; regenerate with "
+        "JAX_PLATFORMS=cpu python tools/lockstep_train_reference.py")
+    data = np.load(path)
+    losses_ref = data["losses_ref"]
+    n_steps = int(data["n_steps"])
+    init_flat = {k[len("init/"):]: data[k]
+                 for k in data.files if k.startswith("init/")}
+
+    losses_ours, evals_ours, _ = lc.run_ours(n_steps, init_flat=init_flat)
+
+    rel = (np.abs(losses_ours[:CHECK_STEPS] - losses_ref[:CHECK_STEPS])
+           / np.maximum(losses_ref[:CHECK_STEPS], 1e-12))
+    assert rel.max() < STRICT_RTOL, (
+        f"lockstep loss diverged from the reference inside the strict "
+        f"window: max rel {rel.max():.2e} at step {int(rel.argmax())}")
+
+    # tail: both optimizations must keep making equivalent progress
+    assert losses_ours[-1] < 0.6 * losses_ours[0]
+    assert abs(losses_ours[-20:].mean() - losses_ref[-20:].mean()) \
+        < 0.3 * losses_ref[-20:].mean()
+
+    # eval render after the strict window's 50-step mark must match closely
+    evals_ref = data["evals_ref"]
+    d = evals_ours[0] - evals_ref[0]
+    mse = float((d ** 2).mean())
+    psnr = -10 * np.log10(max(mse, 1e-12))
+    assert psnr > 30.0, f"eval render @50 steps differs: {psnr:.1f} dB"

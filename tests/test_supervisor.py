@@ -22,7 +22,11 @@ import train_supervisor  # noqa: E402
 def _child_script(tmp_path, body: str) -> str:
     p = tmp_path / "child.py"
     p.write_text(textwrap.dedent(body))
-    return f"{sys.executable} {p}"
+    # -S skips site processing: on this machine sitecustomize registers a
+    # remote TPU backend in EVERY interpreter (~2.5 s of startup), which
+    # would race the short stall_timeouts these tests use. The children
+    # only need stdlib; the supervisor contract under test is unchanged.
+    return f"{sys.executable} -S {p}"
 
 
 def test_crash_then_success(tmp_path):
