@@ -31,6 +31,14 @@ import numpy as np
 
 A100_REFERENCE_RAYS_PER_SEC = 36_864.0
 
+# Speed-of-light for THIS step (pure HBM bytes + MXU FLOPs, PERF_NOTES.md
+# round 1) per chip generation. The north-star in BASELINE.json names v5p;
+# every measurement in this environment is v5e ("TPU v5 lite") — the payload
+# carries the chip so the two are never conflated.
+ROOFLINE_RAYS_PER_SEC = {
+    "TPU v5 lite": 380_000.0,
+}
+
 N_RAND = 1024
 PTNUM = 10
 EVENTS_N_RAND = 4096
@@ -285,7 +293,11 @@ def _emit_stale_or_die(reason: str):
 
 def main():
     _wait_for_backend()
+    import jax
+
     res = run(debug=bool(os.environ.get("BENCH_DEBUG")))
+    chip = jax.devices()[0].device_kind
+    roofline = ROOFLINE_RAYS_PER_SEC.get(chip)
     payload = {
         "metric": "train_rays_per_sec_full_step",
         "value": round(res["rays_per_sec"], 1),
@@ -296,6 +308,21 @@ def main():
         # documented estimate (see module docstring), not a measurement
         "baseline_kind": "estimate",
         "eval_rays_per_sec": round(res["eval_rays_per_sec"], 1),
+        # measurement context: single chip of `chip`; the BASELINE.json
+        # north star names v5p, which this payload does NOT measure
+        "chip": chip,
+        "n_chips_measured": 1,
+        "roofline_rays_per_sec": roofline,
+        "roofline_fraction": (round(res["rays_per_sec"] / roofline, 3)
+                              if roofline else None),
+        # 8-chip DP extrapolation (rays are embarrassingly parallel, tables
+        # replicated; the sharded step passes numeric-equivalence tests) —
+        # a PROJECTION, no multi-chip hardware exists in this environment
+        "projected_8chip_dp_rays_per_sec": round(
+            8 * res["rays_per_sec"], 1),
+        "projected_8chip_vs_baseline": round(
+            8 * res["rays_per_sec"] / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "projection_kind": "projected_unmeasured",
     }
     try:
         with open(_LAST_BENCH, "w") as f:

@@ -149,6 +149,26 @@ class LPIPSScorer:
                                             "alexnet-owt-*.pth"))
         if not candidates:
             return None
+        # torch-hub filenames embed the first 8 hex of the sha256; verify
+        # before trusting a cache file with published-comparable semantics
+        # (tools/convert_lpips_weights.py is the explicit, verbose path)
+        import hashlib
+        import re
+
+        m = re.search(r"alexnet-owt-([0-9a-f]{8})\.pth$",
+                      os.path.basename(candidates[0]))
+        if m:
+            h = hashlib.sha256()
+            with open(candidates[0], "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if not h.hexdigest().startswith(m.group(1)):
+                import warnings
+
+                warnings.warn(
+                    f"torch-hub AlexNet at {candidates[0]} fails its "
+                    f"filename sha256 prefix; ignoring it")
+                return None
         # lin heads: the vendored npz (always present) unless a torch-format
         # file (e.g. an upstream LPIPS checkout's weights/v0.1/alex.pth) is
         # pointed at via env

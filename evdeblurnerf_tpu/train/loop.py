@@ -27,7 +27,7 @@ from ..parallel import (batch_sharding, create_mesh, replicated_sharding)
 from ..parallel import multihost as mh_ctx
 from ..parallel import tp as tp_ctx
 from ..utils.logger import Logger
-from ..utils.metrics import compute_img_metric
+from ..utils.metrics import compute_img_metric, lpips_trunk_kind
 from ..utils.misc import (annealing_interpolator,
                           exponential_scale_fine_loss_weight, seed_everything,
                           to8b)
@@ -140,6 +140,13 @@ def run_test_renders(args, llff, model, crf, variables, crf_params,
         v = compute_img_metric(rgbs, gt, metric=name)
         if v is not None:
             metrics[f"test/{name}"] = v
+    # fallback-trunk LPIPS values are self-consistent but NOT comparable to
+    # published LPIPS(alex); mark every persisted copy (JSONL + txt), not
+    # just a one-time stderr warning, so a user diffing metrics against the
+    # paper is never silently misled
+    lpips_trunk = lpips_trunk_kind() if "test/lpips" in metrics else None
+    if lpips_trunk == "fallback":
+        metrics["test/lpips_trunk_fallback"] = 1.0
     logger.scalars(metrics, step)
 
     testdir = os.path.join(expdir, f"testset_{step:06d}")
@@ -156,7 +163,10 @@ def run_test_renders(args, llff, model, crf, variables, crf_params,
 
     with open(os.path.join(expdir, "test_metrics.txt"), "a") as f:
         parts = " ".join(f"{k.split('/')[1]}={v:.5f}"
-                         for k, v in metrics.items())
+                         for k, v in metrics.items()
+                         if k != "test/lpips_trunk_fallback")
+        if lpips_trunk is not None:
+            parts += f" lpips_trunk={lpips_trunk}"
         f.write(f"iter {step}: {parts}\n")
     return metrics
 
@@ -430,6 +440,8 @@ def _train_impl(args, max_iters: Optional[int] = None):
         for i in range(start, N_iters):
             is_last = i == N_iters - 1
             force_naive = i < args.kernel_start_iter
+            fine_cull = (args.fine_cull_capacity > 0
+                         and i >= args.fine_cull_start_iter)
             events_active = bool(
                 args.add_event_egm and ev_prefetch is not None
                 and (args.add_event_egm_startiter is None
@@ -464,7 +476,8 @@ def _train_impl(args, max_iters: Optional[int] = None):
                 jax.profiler.start_trace(
                     args.profile_dir or os.path.join(expdir, "profile"))
             state, aux = step_fn(state, batch, ev_batch, step_key, sw,
-                                 force_naive, events_active)
+                                 force_naive, events_active,
+                                 fine_cull=fine_cull)
             if (args.profile_start_step >= 0
                     and i == args.profile_start_step
                     + args.profile_num_steps - 1):

@@ -1,45 +1,64 @@
 """Event double integral (EDI) deblurring prior.
 
-Host-side numpy preprocessing run once at dataset build (ref: utils/edi.py):
-bilinear-splat brightness-increment images per sub-exposure interval, then
+Host-side numpy preprocessing run once at dataset build (behavioral parity
+with ref: utils/edi.py, pinned by tests/goldens/oracle_host.npz): bilinear-
+splat brightness-increment images per sub-exposure interval, then
 ``sharp = (2N+1) * blurry / sum_i exp(inner_integral_i)``.
+
+Implementation is vectorized over the full event set: the splat stacks all
+four bilinear corners into one ``np.add.at``; the inner double integral is
+an exclusive cumsum re-centred at its midpoint (the reference's 2N partial
+re-sums collapse to ``S - S[N]``).
 """
 
 from __future__ import annotations
-
-from itertools import product
 
 import numpy as np
 
 
 def interpolate_subpixel(x, y, v, w, h, image=None):
     """Bilinear splat of values ``v`` at float coords (x, y) into [h, w]
-    (ref: utils/edi.py:7-41)."""
+    (behavior pinned vs ref utils/edi.py:7-41 by the host oracle).
+
+    All four tent corners are splatted in ONE ``np.add.at`` over the
+    stacked [4, N] corner arrays (corner-major flattening preserves the
+    reference's corner-pass accumulation order bit-for-bit).
+    """
     image = image if image is not None else np.zeros((h, w), dtype=np.float32)
+    x = np.asarray(x)
+    y = np.asarray(y)
+    v = np.asarray(v)
     if x.size == 0:
         return image
 
-    def k_b(a):
-        return np.maximum(0, 1 - np.abs(a))
+    xf, xc = np.floor(x), np.ceil(x)
+    yf, yc = np.floor(y), np.ceil(y)
+    # corner order (xf,yf), (xf,yc), (xc,yf), (xc,yc) — the reference's
+    # product((floor, ceil), (floor, ceil)) iteration order
+    xs = np.stack([xf, xf, xc, xc])
+    ys = np.stack([yf, yc, yf, yc])
+    # integer coords contribute once (the floor corner only): a ceil corner
+    # is valid only where ceil(x) != x. Out-of-frame high coords drop.
+    # NOTE deliberately NO >= 0 check, exactly like the reference
+    # (ref utils/edi.py:31-33): slightly negative rectified coords floor to
+    # -1 and np.add.at wraps them onto the far edge. The EDI host-oracle
+    # parity test pins this — do not "fix" unilaterally.
+    ceil_ok_x = xc != x
+    ceil_ok_y = yc != y
+    true_ = np.ones_like(ceil_ok_x)
+    valid = (np.stack([true_, true_, ceil_ok_x, ceil_ok_x])
+             & np.stack([true_, ceil_ok_y, true_, ceil_ok_y])
+             & (xs < w) & (ys < h))
 
-    for x_round, y_round in product((np.floor, np.ceil), (np.floor, np.ceil)):
-        x_ref = x_round(x)
-        y_ref = y_round(y)
-        # integer coords contribute once (floor only); drop out-of-frame
-        valid = np.logical_and.reduce([
-            np.logical_or(x_ref != x, x_round is np.floor),
-            np.logical_or(y_ref != y, y_round is np.floor),
-            x_ref < w, y_ref < h])
-        # NOTE: no >= 0 check, exactly like the reference
-        # (ref utils/edi.py:31-33): slightly negative rectified coords
-        # floor to -1 and np.add.at wraps them onto the far edge. The EDI
-        # host-oracle parity test pins this — do not "fix" unilaterally.
-        x_ref = x_ref[valid]
-        y_ref = y_ref[valid]
-        if x_ref.shape[0] > 0:
-            val = v[valid] * k_b(x_ref - x[valid]) * k_b(y_ref - y[valid])
-            np.add.at(image, (y_ref.astype(np.int64), x_ref.astype(np.int64)),
-                      val)
+    # tent weight: 1 - |corner - coord| (non-negative by construction on
+    # valid corners; clamp matches the reference's k_b)
+    wgt = (np.maximum(0, 1 - np.abs(xs - x)) * np.maximum(0, 1 - np.abs(ys - y))
+           * v)
+    sel = valid.reshape(-1)
+    np.add.at(image,
+              (ys.reshape(-1)[sel].astype(np.int64),
+               xs.reshape(-1)[sel].astype(np.int64)),
+              wgt.reshape(-1)[sel])
     return image
 
 
@@ -81,16 +100,19 @@ def brightness_increment_image(x, y, p, w, h, c_pos, c_neg, interpolate=True,
 
 def inner_double_integral(bii):
     """Stack of integrated log-brightness offsets across the exposure
-    (ref: utils/edi.py:73-88). bii: [2N, ...]; returns [2N+1, ...]."""
+    (ref semantics: utils/edi.py:73-88). bii: [2N, ...]; returns [2N+1, ...].
+
+    The reference's per-index partial sums (``-sum(bii[i:N])`` below the
+    midpoint, ``+sum(bii[N:N+1+i])`` above) are all differences of one
+    exclusive prefix sum: with ``S[k] = sum(bii[:k])`` the whole stack is
+    ``S - S[N]`` (f64 accumulation, cast back to the input dtype).
+    """
+    bii = np.asarray(bii)
     assert bii.shape[0] % 2 == 0
     N = bii.shape[0] // 2
-    images = []
-    for i in range(N):
-        images.append(-bii[i:N].sum(axis=0))
-    images.append(np.zeros_like(images[0]))
-    for i in range(N):
-        images.append(+bii[N:N + 1 + i].sum(axis=0))
-    return np.stack(images, axis=0)
+    S = np.concatenate([np.zeros_like(bii[:1], dtype=np.float64),
+                        np.cumsum(bii, axis=0, dtype=np.float64)], axis=0)
+    return (S - S[N]).astype(bii.dtype)
 
 
 def deblur_double_integral(blurry, bii):

@@ -81,6 +81,21 @@ def _get_lpips():
     return _lpips_scorer
 
 
+def lpips_trunk_kind() -> Optional[str]:
+    """Which AlexNet trunk the active LPIPS scorer runs on.
+
+    ``"pretrained"`` — ImageNet weights (published-comparable LPIPS(alex)),
+    ``"fallback"`` — the deterministic fixed-seed trunk (self-consistent,
+    NOT comparable to published numbers), ``None`` — no scorer available.
+    Callers that persist lpips values must record this alongside them so a
+    metrics file is never silently mistaken for paper-comparable LPIPS
+    (ref trunk: networks/lpips/pretrained_networks.py:14-40)."""
+    scorer = _get_lpips()
+    if scorer is None:
+        return None
+    return "pretrained" if scorer.pretrained_trunk else "fallback"
+
+
 def compute_img_metric(im1, im2, metric: str = "mse", margin: float = 0,
                        mask: Optional[np.ndarray] = None):
     """im1/im2: [H, W, 3] or [B, H, W, 3] in [0, 1]. Returns a python float
