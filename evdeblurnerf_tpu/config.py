@@ -47,6 +47,11 @@ FLAG_SPEC = [
     _flag("basedir", str, "./logs/"),
     _flag("datadir", str, None),
     _flag("datadownsample", float, -1.0),
+    # TPU-port extension (not an upstream flag): image minification filter.
+    # "area" = cv2 INTER_AREA (fast default); "lanczos" = PIL LANCZOS,
+    # approximating the reference's ImageMagick mogrify shell-out
+    # (ref: utils/data.py:64-116) for real-data input parity.
+    _flag("minify_filter", str, "area", choices=("area", "lanczos")),
     _flag("tbdir", str, None),
     _bool("no_wandb"),
     _bool("use_tensorboard"),
@@ -243,6 +248,22 @@ FLAG_SPEC = [
     _bool("render_epi"),
 
     # TPU-framework extensions (no reference counterpart)
+    _flag("fine_cull_capacity", float, 0.0,
+          help="transmittance-culled fine sampling (0 = off, reference "
+               "behavior): per ray, the fine pass evaluates only the "
+               "capacity*(N_samples+N_importance) samples with the largest "
+               "coarse transmittance above --fine_cull_eps — occluded "
+               "samples composite to ~0 weight anyway, and the step is "
+               "row-issue-bound so fewer samples is the lever "
+               "(PERF_NOTES.md). Approximation gated by a quality A/B; "
+               "train-time only"),
+    _flag("fine_cull_eps", float, 1e-3,
+          help="coarse-transmittance floor below which a fine-pass sample "
+               "is cullable (bounds the per-ray color error)"),
+    _flag("fine_cull_start_iter", int, 1000,
+          help="enable fine culling only from this iteration (early "
+               "training has near-uniform transmittance — nothing is "
+               "safely cullable and the capacity would clip real samples)"),
     _bool("remat", default=False,
           help="rematerialize render activations in backward; measured "
                "strictly worse than --grad_accum 2 on v5e (PERF_NOTES.md: "

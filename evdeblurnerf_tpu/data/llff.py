@@ -35,11 +35,18 @@ def imread(path: str) -> np.ndarray:
     return imageio.imread(path)
 
 
-def minify_images(basedir: str, factor: int) -> str:
-    """Ensure ``images_{factor}/`` exists, generating it with cv2 INTER_AREA
-    from ``images/`` if needed; returns the folder name."""
-    import cv2
+def minify_images(basedir: str, factor: int, filt: str = "area") -> str:
+    """Ensure ``images_{factor}/`` exists, generating it from ``images/``
+    if needed; returns the folder name. Existing minified folders are
+    reused verbatim whatever produced them (exactly like the reference's
+    ``_minify``, ref: utils/data.py:64-77).
 
+    ``filt``: "area" (cv2 INTER_AREA, the fast default) or "lanczos"
+    (PIL LANCZOS — approximates the reference's ImageMagick ``mogrify
+    -resize`` shell-out, whose default downscale filter is Lanczos; use
+    for real-data runs where input parity at the noise floor matters —
+    measured ~34 dB INTER_AREA-vs-Lanczos delta on noisy content,
+    tools/minify_delta.py)."""
     name = f"images_{factor}"
     imgdir = os.path.join(basedir, name)
     if os.path.exists(imgdir):
@@ -53,10 +60,21 @@ def minify_images(basedir: str, factor: int) -> str:
     for f in files:
         img = imread(os.path.join(srcdir, f))
         h, w = img.shape[:2]
-        out = cv2.resize(img, (w // factor, h // factor),
-                         interpolation=cv2.INTER_AREA)
         out_path = os.path.join(imgdir, os.path.splitext(f)[0] + ".png")
-        cv2.imwrite(out_path, out[..., ::-1] if out.ndim == 3 else out)
+        if filt == "lanczos":
+            from PIL import Image
+
+            im = Image.fromarray(img).resize((w // factor, h // factor),
+                                             Image.LANCZOS)
+            im.save(out_path)
+        elif filt == "area":
+            import cv2
+
+            out = cv2.resize(img, (w // factor, h // factor),
+                             interpolation=cv2.INTER_AREA)
+            cv2.imwrite(out_path, out[..., ::-1] if out.ndim == 3 else out)
+        else:
+            raise ValueError(f"unknown minify filter {filt!r}")
     return name
 
 
@@ -221,7 +239,9 @@ class LLFFDataset:
     def load_data(self):
         data = {}
         if self.factor is not None:
-            folder = minify_images(self.basedir, self.factor)
+            folder = minify_images(self.basedir, self.factor,
+                                   filt=getattr(self.args, "minify_filter",
+                                                "area"))
             factor = self.factor
         else:
             folder, factor = "images", 1

@@ -75,6 +75,60 @@ int64_t accumulate_events_flat(const int64_t* events, int64_t num_events,
   return num_out;
 }
 
+// Timestamp-grid accumulation (ref: utils/events.py:174-218, flat ids).
+// events: int64 [N,3] rows (xy, t, p), time-sorted. sampled: float64 [S]
+// interval boundaries (already subsampled by the caller). Per interval
+// [t0, t1): one aggregated row (x, t1, sum p) per ACTIVE pixel (ascending
+// x), and one row (x, t0, t1) per INACTIVE pixel into out_zero. Caller
+// allocates both outputs at capacity (S-1)*num_pixels rows. out_counts[0]
+// and out_counts[1] receive the row counts. Returns 0 on success.
+int accumulate_events_at_time_flat(const int64_t* events, int64_t num_events,
+                                   int64_t num_pixels, const double* sampled,
+                                   int64_t num_sampled, int64_t* out_events,
+                                   int64_t* out_zero, int64_t* out_counts) {
+  std::vector<int64_t> accum(num_pixels);
+  int64_t n_ev = 0, n_zero = 0;
+  int64_t lo = 0;
+  // searchsorted-left of (sampled[0] - 1e-6) over the time column
+  while (lo < num_events &&
+         static_cast<double>(events[lo * 3 + 1]) < sampled[0] - 1e-6) {
+    ++lo;
+  }
+  for (int64_t s = 0; s + 1 < num_sampled; ++s) {
+    const double t1_cut = sampled[s + 1] - 1e-6;
+    int64_t hi = lo;
+    while (hi < num_events &&
+           static_cast<double>(events[hi * 3 + 1]) < t1_cut) {
+      ++hi;
+    }
+    std::memset(accum.data(), 0, sizeof(int64_t) * num_pixels);
+    for (int64_t i = lo; i < hi; ++i) {
+      const int64_t x = events[i * 3 + 0];
+      if (x < 0 || x >= num_pixels) return 1;
+      accum[x] += events[i * 3 + 2];
+    }
+    const int64_t t0 = static_cast<int64_t>(sampled[s]);
+    const int64_t t1 = static_cast<int64_t>(sampled[s + 1]);
+    for (int64_t x = 0; x < num_pixels; ++x) {
+      if (accum[x] != 0) {
+        out_events[n_ev * 3 + 0] = x;
+        out_events[n_ev * 3 + 1] = t1;
+        out_events[n_ev * 3 + 2] = accum[x];
+        ++n_ev;
+      } else {
+        out_zero[n_zero * 3 + 0] = x;
+        out_zero[n_zero * 3 + 1] = t0;
+        out_zero[n_zero * 3 + 2] = t1;
+        ++n_zero;
+      }
+    }
+    lo = hi;
+  }
+  out_counts[0] = n_ev;
+  out_counts[1] = n_zero;
+  return 0;
+}
+
 // K-hop successor gather (ref: utils/events.py:221-257).
 // query_idx/query_hops: int64 [Q]; successor_map/polarities: int64 [N].
 // Outputs int64 [Q]: out_idx, out_neg, out_pos.

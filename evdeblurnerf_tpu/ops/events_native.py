@@ -26,6 +26,7 @@ _lib_failed = False
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
@@ -71,6 +72,15 @@ def _load_library() -> Optional[ctypes.CDLL]:
         lib.gather_successor.argtypes = [
             _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
             _i64p, _i64p, _i64p]
+        try:
+            # older prebuilt libraries may predate this symbol; its absence
+            # must not disable the other kernels (numpy covers the gap)
+            lib.accumulate_events_at_time_flat.restype = ctypes.c_int
+            lib.accumulate_events_at_time_flat.argtypes = [
+                _i64p, ctypes.c_int64, ctypes.c_int64, _f64p,
+                ctypes.c_int64, _i64p, _i64p, _i64p]
+        except AttributeError:
+            pass
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -205,13 +215,46 @@ def accumulate_events_at_time(events: np.ndarray, timestamps: np.ndarray,
                               n: int, return_zeroevents: bool = False):
     """Timestamp-grid accumulation (ref: utils/events.py:174-218, flat ids).
 
-    events: [N, 3] (xy, t, p); emits one aggregated event per active pixel
-    per sampled interval; optionally the zero-event (inactive) pixels.
-
-    numpy-only by design: like its upstream counterpart, this variant is
-    not used by the training path (only the count-based accumulator has a
-    C++ twin); it exists for offline analysis parity.
+    events: [N, 3] (xy, t, p), time-sorted; emits one aggregated event per
+    active pixel per sampled interval; optionally the zero-event (inactive)
+    pixels. C++ when available, numpy twin otherwise (cross-checked in
+    tests/test_events.py). Not used by the training path — offline
+    analysis parity, like its upstream counterpart.
     """
+    lib = _load_library()
+    if lib is not None and hasattr(lib, "accumulate_events_at_time_flat"):
+        return _accumulate_events_at_time_cpp(lib, events, timestamps, n,
+                                              return_zeroevents)
+    return accumulate_events_at_time_np(events, timestamps, n,
+                                        return_zeroevents)
+
+
+def _accumulate_events_at_time_cpp(lib, events, timestamps, n,
+                                   return_zeroevents):
+    events = np.ascontiguousarray(events, dtype=np.int64)
+    sampled = np.ascontiguousarray(np.asarray(timestamps)[::n + 1],
+                                   dtype=np.float64)
+    num_pixels = int(events[:, 0].max()) + 1 if events.shape[0] else 0
+    n_int = max(0, sampled.shape[0] - 1)
+    cap = n_int * num_pixels
+    out_events = np.empty((cap, 3), dtype=np.int64)
+    out_zero = np.empty((cap, 3), dtype=np.int64)
+    counts = np.zeros(2, dtype=np.int64)
+    rc = lib.accumulate_events_at_time_flat(
+        events, events.shape[0], num_pixels, sampled, sampled.shape[0],
+        out_events, out_zero, counts)
+    if rc != 0:
+        raise ValueError("accumulate_events_at_time: pixel id out of range")
+    out_events = out_events[:counts[0]].copy()
+    out_zero = out_zero[:counts[1]].copy()
+    if return_zeroevents:
+        return out_events, out_zero
+    return out_events
+
+
+def accumulate_events_at_time_np(events: np.ndarray, timestamps: np.ndarray,
+                                 n: int, return_zeroevents: bool = False):
+    """Vectorized numpy twin of the C++ kernel above."""
     events = np.asarray(events, dtype=np.int64)
     sampled = np.asarray(timestamps)[::n + 1]
     idx_tms = np.searchsorted(events[:, 1], sampled - 1e-6)

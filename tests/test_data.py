@@ -175,6 +175,40 @@ def test_minify_factor(scene, tmp_path):
     assert batch["rays"].shape == (4, 3, 2)
 
 
+def test_minify_lanczos_filter(scene, tmp_path):
+    """--minify_filter lanczos routes minification through PIL LANCZOS
+    (approximating the reference's ImageMagick mogrify shell-out, ref:
+    utils/data.py:64-116); existing minified folders are reused verbatim."""
+    import shutil
+
+    from PIL import Image
+
+    from evdeblurnerf_tpu.data.llff import imread, minify_images
+
+    scene_dir, _ = scene
+    copy_dir = str(tmp_path / "scene_lz")
+    shutil.copytree(scene_dir, copy_dir)
+    shutil.rmtree(os.path.join(copy_dir, "images_2"), ignore_errors=True)
+    args = default_args(llffhold=3, factor=2, use_viewdirs=True,
+                        minify_filter="lanczos",
+                        events_tms_files_unit="us", events_tms_unit="us")
+    ds = LLFFDataset(args, copy_dir, factor=2)
+    assert (ds.h, ds.w) == (12, 16)
+    files = sorted(os.listdir(os.path.join(copy_dir, "images_2")))
+    got = imread(os.path.join(copy_dir, "images_2", files[0]))
+    src = sorted(os.listdir(os.path.join(copy_dir, "images")))
+    src_img = imread(os.path.join(copy_dir, "images", src[0]))
+    want = np.asarray(Image.fromarray(src_img).resize(
+        (src_img.shape[1] // 2, src_img.shape[0] // 2), Image.LANCZOS))
+    np.testing.assert_array_equal(got[..., :3], want[..., :3])
+    # reuse semantics: a second build with the other filter must NOT
+    # regenerate (exactly like the reference's _minify short-circuit)
+    before = os.path.getmtime(os.path.join(copy_dir, "images_2", files[0]))
+    minify_images(copy_dir, 2, filt="area")
+    assert os.path.getmtime(
+        os.path.join(copy_dir, "images_2", files[0])) == before
+
+
 def test_successor_sidecar(scene, tmp_path):
     """tools/preprocess_events.py writes a successor sidecar the dataset
     loads instead of re-scanning (and ignores when stale)."""

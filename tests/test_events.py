@@ -89,6 +89,28 @@ def test_accumulate_events_at_time():
     assert (1, 20, 40) in {tuple(r) for r in zero}
 
 
+def test_accumulate_at_time_native_numpy_agree():
+    """C++ twin of the timestamp-grid accumulator (ref utils/events.py:
+    174-218 is Numba there) must agree with the vectorized numpy path
+    row-for-row, including zero-event rows and the n-subsampling."""
+    lib = events_native._load_library()
+    if lib is None or not hasattr(lib, "accumulate_events_at_time_flat"):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n_ev, n_pix = 5000, 37
+    t = np.sort(rng.integers(0, 10_000, n_ev))
+    events = np.stack([rng.integers(0, n_pix, n_ev), t,
+                       rng.choice([-1, 1], n_ev)], -1).astype(np.int64)
+    tms = np.linspace(0.0, 10_000.0, 23)
+    for n in (0, 1, 3):
+        a = events_native._accumulate_events_at_time_cpp(
+            lib, events, tms, n, return_zeroevents=True)
+        b = events_native.accumulate_events_at_time_np(
+            events, tms, n, return_zeroevents=True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
 @pytest.mark.parametrize("impl", ["native", "numpy"])
 def test_gather_successor_hops(impl):
     # chain on one pixel: indices 0->1->2->3, polarities +1,-1,+1,-1

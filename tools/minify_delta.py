@@ -49,6 +49,27 @@ def main():
     compare((np.clip(smooth, 0, 1) * 255).round().astype(np.uint8),
             label="smooth-only")
 
+    # the in-loader lanczos path (--minify_filter lanczos) must reproduce
+    # the PIL comparison arm above bit-for-bit
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from evdeblurnerf_tpu.data.llff import imread, minify_images
+
+    img8 = (np.clip(img, 0, 1) * 255).round().astype(np.uint8)
+    with tempfile.TemporaryDirectory() as td:
+        os.makedirs(os.path.join(td, "images"))
+        Image.fromarray(img8).save(os.path.join(td, "images", "0.png"))
+        folder = minify_images(td, 4, filt="lanczos")
+        got = imread(os.path.join(td, folder, "0.png"))
+        want = np.asarray(Image.fromarray(img8).resize(
+            (img8.shape[1] // 4, img8.shape[0] // 4), Image.LANCZOS))
+        assert np.array_equal(got, want), "loader lanczos path deviates"
+        print("loader --minify_filter lanczos matches PIL reference arm")
+
 
 if __name__ == "__main__":
     main()
