@@ -85,6 +85,17 @@ class RenderConfig:
     # bf16 unless EVDN_LINE_GRAD_PRECISION=highest — see ops/triplane.py);
     # off by default for exact f32 parity
     triplane_bf16: bool = False
+    # TPU-native approximation (off by default, train-only, phase-gated by
+    # --fine_cull_start_iter): transmittance-culled fine sampling — the
+    # fine pass evaluates only the samples still visible under the COARSE
+    # pass's transmittance (T > fine_cull_eps), compacted per ray to a
+    # fixed capacity*S_all lane budget. Occluded samples contribute
+    # exactly alpha=0 in the reference too (up to eps), so the per-ray
+    # color error is bounded by eps; the win is row COUNT — the step is
+    # row-issue-bound at ~14-20 ns/row (PERF_NOTES.md), and this removes
+    # the gathers, scatters and MLP FLOPs of every culled sample.
+    fine_cull_capacity: float = 0.0
+    fine_cull_eps: float = 1e-3
     # TPU-native: line-table rows via one-hot MXU matmul (backward becomes
     # a matmul instead of a scatter-add)
     triplane_line_matmul: bool = False
@@ -125,6 +136,8 @@ def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
         render_rmnearplane=args.render_rmnearplane,
         triplane_bf16=getattr(args, "triplane_bf16", False),
         triplane_line_matmul=getattr(args, "triplane_line_matmul", False),
+        fine_cull_capacity=getattr(args, "fine_cull_capacity", 0.0) or 0.0,
+        fine_cull_eps=getattr(args, "fine_cull_eps", 1e-3),
         rgb_activate=args.rgb_activate,
         sigma_activate=args.sigma_activate,
         rgb_add_bias=args.rgb_add_bias,
@@ -314,13 +327,53 @@ class Renderer(nn.Module):
     # ------------------------------------------------------------------
     # core per-batch rendering (ref: renderer.py:129-264)
     # ------------------------------------------------------------------
+    def _cull_select(self, z_cat, z_coarse, weights_coarse):
+        """Per-ray fixed-capacity selection of the fine-pass samples still
+        visible under the coarse transmittance (see RenderConfig.
+        fine_cull_capacity).
+
+        z_cat [R, S_all] (unsorted stratified++importance), z_coarse
+        [R, Sc] (sorted), weights_coarse [R, Sc]. Returns int32 lane
+        indices [R, S_keep] into z_cat — the kept set, NOT depth-ordered
+        (the caller re-sorts the selected depths as usual).
+
+        Selection: coarse transmittance BEFORE each sample, T(z) = 1 -
+        cumsum(w)[#coarse samples strictly before z] (w_i = T_i*alpha_i so
+        the partial sums telescope to 1 - T). Keep T > eps; under
+        overflow, drop the deepest survivors (the lowest-T ones, nearest
+        eps); the single deepest sample of the ray is ALWAYS kept so the
+        compositor's pinned last-alpha sample (ops/compositing.py) stays
+        the ray's true far sample on unsaturated rays. Spare capacity
+        backfills with the shallowest culled samples (real evaluations —
+        strictly more accurate than padding). All lane-dimension ops.
+        """
+        cfg = self.cfg
+        S_all = z_cat.shape[-1]
+        S_keep = max(8, int(round(cfg.fine_cull_capacity * S_all)))
+        cumw = jnp.cumsum(weights_coarse, -1)
+        cumw0 = jnp.concatenate([jnp.zeros_like(cumw[..., :1]), cumw], -1)
+        n_before = jnp.sum(
+            z_cat[..., None] > z_coarse[..., None, :], -1)     # [R, S_all]
+        T = 1.0 - jnp.take_along_axis(cumw0, n_before, axis=-1)
+        keep = T > cfg.fine_cull_eps
+        is_deepest = z_cat == jnp.max(z_cat, -1, keepdims=True)
+        # priority 0: deepest (always); 1: survivors by ascending z;
+        # 2: culled by ascending z (spare-capacity backfill)
+        big = 4.0 * jnp.max(jnp.abs(z_cat)) + 1.0
+        key_sort = jnp.where(is_deepest, z_cat - 2.0 * big,
+                             jnp.where(keep, z_cat, z_cat + 2.0 * big))
+        _, perm, _ = lane_shuffle.sort_with_perm(key_sort)
+        return jax.lax.stop_gradient(perm[..., :S_keep])
+
     def render_rays(self, key, rays_o, rays_d, viewdirs, is_train=True,
-                    perturb: Optional[float] = None):
+                    perturb: Optional[float] = None, fine_cull: bool = False):
         """Render a fixed-size ray batch.
 
         rays_o/rays_d: [R, 3] (already NDC if applicable); viewdirs [R, 3]
-        or None. Returns a dict with rgb/depth/acc/weights (+ coarse rgb0...
-        and per-sample fine features for AWP).
+        or None. ``fine_cull`` (static): enable the transmittance-culled
+        fine pass (c2f mode, train phases past --fine_cull_start_iter).
+        Returns a dict with rgb/depth/acc/weights (+ coarse rgb0... and
+        per-sample fine features for AWP).
         """
         cfg = self.cfg
         R = rays_o.shape[0]
@@ -329,13 +382,45 @@ class Renderer(nn.Module):
         z_vals, pts, noise_c = self._coarse_setup(
             k_strat, k_noise_c, rays_o, rays_d, is_train, perturb)
         ret = {}
+        fine_cull = (fine_cull and cfg.mode == "c2f"
+                     and cfg.fine_cull_capacity > 0.0
+                     and cfg.N_importance > 0)
 
         if cfg.mode == "c2f":
             ft_coarse = self.mlp_coarse.sample(pts, is_train)
             rgb_map, depth_map, acc_map, weights, feature = self.mlp_coarse(
                 pts, viewdirs, ft_coarse, z_vals, rays_d, noise_c, is_train)
 
-            if cfg.N_importance > 0:
+            if fine_cull:
+                ret.update(rgb0=rgb_map, depth0=depth_map, acc0=acc_map)
+                z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                z_samples = sample_pdf(k_pdf, z_mid, weights[..., 1:-1],
+                                       cfg.N_importance, det=(perturb == 0.0))
+                z_samples = jax.lax.stop_gradient(z_samples)
+                z_cat = jnp.concatenate([z_vals, z_samples], -1)
+                sel = self._cull_select(z_cat, z_vals, weights)
+                z_sel = jnp.take_along_axis(z_cat, sel, -1)
+                S_keep = z_sel.shape[-1]
+                z_all, perm, inv_perm = lane_shuffle.sort_with_perm(z_sel)
+                pts_sel = (rays_o[..., None, :]
+                           + rays_d[..., None, :] * z_sel[..., :, None])
+                # coarse features re-sampled at the selected depths: for the
+                # kept stratified lanes the gathers hit the exact texels of
+                # ft_coarse above (XLA CSE cannot merge them — different
+                # index sets — but S_keep coarse rows < the baseline's
+                # N_importance rows whenever capacity*S_all < N_importance
+                # + kept-stratified, and the uniform path keeps the code
+                # one-shape)
+                ft = jnp.concatenate(
+                    [self.mlp_coarse.sample(pts_sel, is_train),
+                     self.mlp_fine.sample(pts_sel, is_train)], -1)
+                noise_f = self._noise(k_noise_f, (R, S_keep - 1), is_train)
+                rgb_map, depth_map, acc_map, weights, feature = self.mlp_fine(
+                    pts_sel, viewdirs, ft, z_all, rays_d, noise_f, is_train,
+                    perm=perm, inv_perm=inv_perm)
+                z_vals = z_all
+                ret["z_std"] = jnp.std(z_samples, axis=-1)
+            elif cfg.N_importance > 0:
                 ret.update(rgb0=rgb_map, depth0=depth_map, acc0=acc_map)
 
                 z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
@@ -404,14 +489,16 @@ class Renderer(nn.Module):
             ret["depth_feature"] = feature
         return ret
 
-    def render(self, key, rays, is_train=True, perturb=None):
+    def render(self, key, rays, is_train=True, perturb=None,
+               fine_cull=False):
         """Pack + render rays given as [R, 3, 2] (o, d stacked on last dim),
         applying NDC projection and viewdir normalization
         (ref: renderer.py:399-466)."""
         cfg = self.cfg
         rays_o, rays_d, viewdirs = self._unpack_rays(rays)
         ret = self.render_rays(key, rays_o, rays_d, viewdirs,
-                               is_train=is_train, perturb=perturb)
+                               is_train=is_train, perturb=perturb,
+                               fine_cull=fine_cull)
         if cfg.use_awp:
             ret["rays_d"] = rays_d
         return ret

@@ -225,11 +225,14 @@ class EvDeblurNeRF(nn.Module):
     # training forward (ref: renderer.py:266-391)
     # -----------------------------------------------------------------
     def train_forward(self, key, rays, rays_info: Optional[Dict[str, Any]],
-                      force_naive: bool = True, return_pts0_rgb: bool = False):
+                      force_naive: bool = True, return_pts0_rgb: bool = False,
+                      fine_cull: bool = False):
         """rays: [N, 3, 2]; rays_info: dict with images_idx [N], rays_x [N],
         rays_y [N], poses [N, 3, 4] (None for naive event renders).
 
-        ``force_naive``/``return_pts0_rgb`` are static. Returns
+        ``force_naive``/``return_pts0_rgb``/``fine_cull`` are static
+        (``fine_cull`` enables the transmittance-culled fine pass — see
+        RenderConfig.fine_cull_capacity). Returns
         (rgb [N,3], rgb1 [N,3] or None, other_loss dict, other_tensors dict).
         """
         cfg, kcfg = self.cfg, self.kcfg
@@ -238,7 +241,8 @@ class EvDeblurNeRF(nn.Module):
 
         if self.kernelnet is None or force_naive:
             k_render, _ = jax.random.split(key)
-            ret = self.renderer.render(k_render, rays, is_train=True)
+            ret = self.renderer.render(k_render, rays, is_train=True,
+                                       fine_cull=fine_cull)
             rgb = ret["rgb_map"]
             rgb1 = ret.get("rgb0")
             if return_pts0_rgb:
@@ -284,7 +288,7 @@ class EvDeblurNeRF(nn.Module):
                 feats=feats)
 
         ret = self.renderer.render(k_render, new_rays.reshape(-1, 3, 2),
-                                   is_train=True)
+                                   is_train=True, fine_cull=fine_cull)
         rgb_pts = ret["rgb_map"].reshape(N, pt_num, 3)
         rgb1_pts = (ret["rgb0"].reshape(N, pt_num, 3)
                     if cfg.N_importance > 0 else None)
@@ -335,9 +339,10 @@ class EvDeblurNeRF(nn.Module):
         return ret["rgb_map"], ret["depth_map"], ret["acc_map"]
 
     def __call__(self, key, rays, rays_info=None, force_naive=True,
-                 return_pts0_rgb=True):
+                 return_pts0_rgb=True, fine_cull=False):
         # init/tracing entry point: run the richest path so every submodule
         # (incl. kernel + AWP when configured) creates its parameters
         return self.train_forward(key, rays, rays_info,
                                   force_naive=force_naive,
-                                  return_pts0_rgb=return_pts0_rgb)
+                                  return_pts0_rgb=return_pts0_rgb,
+                                  fine_cull=fine_cull)

@@ -162,17 +162,20 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
     # strictly worse than --grad_accum 2 on v5e, PERF_NOTES.md)
     remat = bool(getattr(args, "remat", False))
 
-    def nerf_apply(params, batch_stats, key, rays, rays_info, force_naive):
+    def nerf_apply(params, batch_stats, key, rays, rays_info, force_naive,
+                   fine_cull=False):
         def fwd(params, batch_stats, key, rays, rays_info):
             variables = {"params": params["nerf"]}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
                 out, new_state = model.apply(
                     variables, key, rays, rays_info, force_naive=force_naive,
-                    return_pts0_rgb=True, mutable=["batch_stats"])
+                    return_pts0_rgb=True, fine_cull=fine_cull,
+                    mutable=["batch_stats"])
                 return out, new_state.get("batch_stats", batch_stats)
             out = model.apply(variables, key, rays, rays_info,
-                              force_naive=force_naive, return_pts0_rgb=True)
+                              force_naive=force_naive, return_pts0_rgb=True,
+                              fine_cull=fine_cull)
             return out, batch_stats
 
         if remat:
@@ -203,7 +206,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
         return None
 
     def loss_fn(params, batch_stats, key, batch, ev_batch, sw,
-                force_naive: bool, events_active: bool):
+                force_naive: bool, events_active: bool,
+                fine_cull: bool = False):
         # three-way split kept although only two keys are consumed (the two
         # event renders were merged into one 2x-batched render): dropping
         # the third key would shift the whole RNG stream and invalidate
@@ -215,7 +219,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                       ("images_idx", "rays_x", "rays_y", "poses")}
                      if not force_naive else None)
         (rgb, rgb1, extra_loss, extra_tensor), batch_stats = nerf_apply(
-            params, batch_stats, k_img, batch["rays"], rays_info, force_naive)
+            params, batch_stats, k_img, batch["rays"], rays_info,
+            force_naive, fine_cull=fine_cull)
 
         target = batch["rgbsf"]
         rgb_e = apply_crf(params, rgb, sw)
@@ -277,7 +282,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
             ev_rays = jnp.concatenate([ev_batch["events_rays_start"],
                                        ev_batch["events_rays_end"]], axis=0)
             (rgb_se, rgb1_se, _, _), batch_stats = nerf_apply(
-                params, batch_stats, k_ev_start, ev_rays, None, True)
+                params, batch_stats, k_ev_start, ev_rays, None, True,
+                fine_cull=fine_cull)
             s_rgb, e_rgb = jnp.split(rgb_se, 2, axis=0)
             s_rgb1, e_rgb1 = ((None, None) if rgb1_se is None
                               else jnp.split(rgb1_se, 2, axis=0))
@@ -303,13 +309,14 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
     accum = max(1, int(getattr(args, "grad_accum", 1) or 1))
 
     @functools.lru_cache(maxsize=None)
-    def jitted(force_naive: bool, events_active: bool):
+    def jitted(force_naive: bool, events_active: bool,
+               fine_cull: bool = False):
         def step(state, batch, ev_batch, key, sw):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             if accum == 1:
                 (_, (aux, new_bs)), grads = grad_fn(
                     state.params, state.batch_stats, key, batch, ev_batch,
-                    sw, force_naive, events_active)
+                    sw, force_naive, events_active, fine_cull)
             else:
                 # microbatched gradient accumulation: halves (1/accum) the
                 # activation peak with ZERO recompute — strictly better than
@@ -329,7 +336,7 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                     b, e, k = xs
                     (_, (aux_i, bs)), g = grad_fn(
                         state.params, bs, k, b, e, sw,
-                        force_naive, events_active)
+                        force_naive, events_active, fine_cull)
                     grads_acc = jax.tree_util.tree_map(
                         lambda a, x: a + x, grads_acc, g)
                     return (bs, grads_acc, loss_acc + aux_i["loss"]), aux_i
@@ -371,10 +378,10 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
         return jax.jit(step, donate_argnums=(0,))
 
     def step(state, batch, ev_batch, key, sw, force_naive: bool,
-             events_active: bool):
+             events_active: bool, fine_cull: bool = False):
         if not events_active:
             ev_batch = {}
-        return jitted(bool(force_naive), bool(events_active))(
-            state, batch, ev_batch, key, sw)
+        return jitted(bool(force_naive), bool(events_active),
+                      bool(fine_cull))(state, batch, ev_batch, key, sw)
 
     return step

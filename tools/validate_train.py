@@ -18,9 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=2000)
+def add_scene_args(ap):
     ap.add_argument("--scene", default="/tmp/vtrain_scene")
     ap.add_argument("--logdir", default="/tmp/vtrain_logs")
     ap.add_argument("--h", type=int, default=96)
@@ -30,8 +28,9 @@ def main():
                     help="color-DAVIS path: rectified float event coords + "
                          "ev_map, Bayer one-hot color EGM, color-pos-neg "
                          "BII CRF features (ref cdavis configs)")
-    args, extra = ap.parse_known_args()
 
+
+def ensure_scene(args):
     if not os.path.exists(os.path.join(args.scene, "events.h5")):
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -42,9 +41,10 @@ def main():
                              rectified_coords=args.cdavis)
         print("scene written to", args.scene, flush=True)
 
-    from evdeblurnerf_tpu.config import parse_args
-    from evdeblurnerf_tpu.train.loop import train
 
+def make_cli(args, iters):
+    """The validation run's full flag set (shared with tools/eval_bf16_ab.py
+    so the A/B rebuilds the EXACT training configuration)."""
     cli = [
         "--expname", "vtrain",
         "--basedir", args.logdir,
@@ -53,7 +53,7 @@ def main():
         "--factor", "1", "--llffhold", "6",
         "--events_tms_unit", "us", "--events_tms_files_unit", "us",
         "--no_wandb",
-        "--N_iters", str(args.iters),
+        "--N_iters", str(iters),
         "--N_rand", "256", "--N_samples", "64", "--N_importance", "64",
         "--mode", "c2f",
         "--coarse_n_voxels", "1000000", "--fine_n_voxels", "8000000",
@@ -75,8 +75,20 @@ def main():
             "--event_egm_color_weights_start_iter", "300",
             "--tone_mapping_events_add_bii", "color-pos-neg",
         ]
-    cli += extra
-    train(parse_args(cli))
+    return cli
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    add_scene_args(ap)
+    args, extra = ap.parse_known_args()
+    ensure_scene(args)
+
+    from evdeblurnerf_tpu.config import parse_args
+    from evdeblurnerf_tpu.train.loop import train
+
+    train(parse_args(make_cli(args, args.iters) + extra))
 
 
 if __name__ == "__main__":
