@@ -384,4 +384,7 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
         return jitted(bool(force_naive), bool(events_active),
                       bool(fine_cull))(state, batch, ev_batch, key, sw)
 
+    # diagnostics hook: the raw (params, ...) -> (loss, (aux, bs)) closure,
+    # so tools can value_and_grad the exact production loss out-of-band
+    step.loss_fn = loss_fn
     return step

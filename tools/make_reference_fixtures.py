@@ -97,7 +97,11 @@ class Flat:
     def __call__(self, *parts):
         key = kp(*parts)
         self.used.add(key)
-        return self.flat[key]
+        # copy: transplants that need no transpose hand this straight to
+        # torch.from_numpy, which SHARES memory — a torch optimizer step
+        # would then silently train the recorded init arrays in place
+        # (this corrupted the lockstep goldens' init/ entries once)
+        return np.array(self.flat[key])
 
     def unused(self, prefix="['params']"):
         return [k for k in self.flat if k.startswith(prefix)
