@@ -45,7 +45,8 @@ EVENTS_N_RAND = 4096
 
 
 def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
-        steps_in_flight=2, iters=10, arg_overrides=None, debug=False):
+        steps_in_flight=2, iters=10, arg_overrides=None, debug=False,
+        fine_cull_capacity=0.0):
     """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
@@ -100,7 +101,8 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         fine_geo_feat_dim=128, coarse_app_dim=32, fine_app_dim=32,
         kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
         triplane_bf16=args.triplane_bf16,
-        triplane_line_matmul=args.triplane_line_matmul)
+        triplane_line_matmul=args.triplane_line_matmul,
+        fine_cull_capacity=fine_cull_capacity)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)
@@ -152,7 +154,8 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
 
     def one(state):
         return step_fn(state, batch, ev_batch, key, sw,
-                       force_naive=False, events_active=True)
+                       force_naive=False, events_active=True,
+                       fine_cull=fine_cull_capacity > 0)
 
     # warmup/compile; sync via host transfer — block_until_ready does not
     # actually block on remote backends, which would leak compile time into
@@ -269,6 +272,14 @@ def _wait_for_backend():
         time.sleep(min(60, attempt_timeout / 2))
 
 
+def _default_fine_cull() -> float:
+    """The bench measures the flag's PRODUCTION default so the official
+    payload always reflects what a default run trains with."""
+    from evdeblurnerf_tpu.config import default_args
+
+    return float(default_args().fine_cull_capacity)
+
+
 _LAST_BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "LAST_BENCH.json")
 
@@ -292,10 +303,20 @@ def _emit_stale_or_die(reason: str):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # measurement knob for the culled-fine-pass A/Bs (PERF_NOTES round 4);
+    # the OFFICIAL payload keeps the flag's production default
+    ap.add_argument("--fine_cull_capacity", type=float,
+                    default=_default_fine_cull())
+    cli = ap.parse_args()
+
     _wait_for_backend()
     import jax
 
-    res = run(debug=bool(os.environ.get("BENCH_DEBUG")))
+    res = run(debug=bool(os.environ.get("BENCH_DEBUG")),
+              fine_cull_capacity=cli.fine_cull_capacity)
     chip = jax.devices()[0].device_kind
     roofline = ROOFLINE_RAYS_PER_SEC.get(chip)
     payload = {
@@ -312,6 +333,10 @@ def main():
         # north star names v5p, which this payload does NOT measure
         "chip": chip,
         "n_chips_measured": 1,
+        # steady-state approximation knobs active in this measurement
+        # (quality-gated in PERF_NOTES round 4; 0.0 = reference-exact
+        # sampling)
+        "fine_cull_capacity": cli.fine_cull_capacity,
         "roofline_rays_per_sec": roofline,
         "roofline_fraction": (round(res["rays_per_sec"] / roofline, 3)
                               if roofline else None),

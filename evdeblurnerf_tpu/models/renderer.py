@@ -339,13 +339,23 @@ class Renderer(nn.Module):
 
         Selection: coarse transmittance BEFORE each sample, T(z) = 1 -
         cumsum(w)[#coarse samples strictly before z] (w_i = T_i*alpha_i so
-        the partial sums telescope to 1 - T). Keep T > eps; under
-        overflow, drop the deepest survivors (the lowest-T ones, nearest
-        eps); the single deepest sample of the ray is ALWAYS kept so the
-        compositor's pinned last-alpha sample (ops/compositing.py) stays
-        the ray's true far sample on unsaturated rays. Spare capacity
-        backfills with the shallowest culled samples (real evaluations —
-        strictly more accurate than padding). All lane-dimension ops.
+        the partial sums telescope to 1 - T). Keep T > eps; the single
+        deepest sample of the ray is ALWAYS a survivor so the compositor's
+        pinned last-alpha sample (ops/compositing.py) stays the ray's true
+        far sample on unsaturated rays. Under OVERFLOW (more survivors
+        than capacity — the normal case early in training, when coarse
+        density is still diffuse and T decays slowly) the survivors are
+        DECIMATED evenly by depth rank (Bresenham: survivor of rank r is
+        selected iff floor(r*K/n) > floor((r-1)*K/n)), which preserves
+        depth coverage of the whole visible interval at a coarser step —
+        the compositing deltas between consecutive kept samples absorb the
+        dropped ones. Tail-truncating instead (the round-4 first cut) made
+        the pinned far sample absorb ALL the transmittance past the
+        capacity cutoff and cost -5 dB at capacity 0.25 on the 2k-iter
+        A/B (PERF_NOTES.md round 4). Spare capacity backfills first with
+        unselected survivors, then with the shallowest culled samples
+        (real evaluations — strictly more accurate than padding). All
+        lane-dimension ops (two lane sorts, no row gathers).
         """
         cfg = self.cfg
         S_all = z_cat.shape[-1]
@@ -355,15 +365,26 @@ class Renderer(nn.Module):
         n_before = jnp.sum(
             z_cat[..., None] > z_coarse[..., None, :], -1)     # [R, S_all]
         T = 1.0 - jnp.take_along_axis(cumw0, n_before, axis=-1)
-        keep = T > cfg.fine_cull_eps
         is_deepest = z_cat == jnp.max(z_cat, -1, keepdims=True)
-        # priority 0: deepest (always); 1: survivors by ascending z;
-        # 2: culled by ascending z (spare-capacity backfill)
-        big = 4.0 * jnp.max(jnp.abs(z_cat)) + 1.0
-        key_sort = jnp.where(is_deepest, z_cat - 2.0 * big,
-                             jnp.where(keep, z_cat, z_cat + 2.0 * big))
-        _, perm, _ = lane_shuffle.sort_with_perm(key_sort)
-        return jax.lax.stop_gradient(perm[..., :S_keep])
+        keep = (T > cfg.fine_cull_eps) | is_deepest
+        # work in the depth-sorted lane domain: rank survivors, decimate
+        z_sorted, perm_z, _ = lane_shuffle.sort_with_perm(z_cat)
+        keep_s = jnp.take_along_axis(keep, perm_z, -1)
+        rank = jnp.cumsum(keep_s.astype(jnp.int32), -1)        # [R, S_all]
+        n_surv = rank[..., -1:]
+        sel_s = keep_s & ((rank * S_keep) // jnp.maximum(n_surv, 1)
+                          > ((rank - 1) * S_keep) // jnp.maximum(n_surv, 1))
+        # priority 0: decimation-selected survivors; 1: unselected
+        # survivors (backfill); 2: culled — each ascending in z (the
+        # sorted-domain position breaks ties)
+        prio = jnp.where(sel_s, 0, jnp.where(keep_s, 1, 2))
+        pos = jnp.broadcast_to(jnp.arange(S_all, dtype=jnp.int32),
+                               prio.shape)
+        _, perm2, _ = lane_shuffle.sort_with_perm(
+            (prio * S_all + pos).astype(jnp.float32))
+        sel_pos = perm2[..., :S_keep]
+        return jax.lax.stop_gradient(
+            jnp.take_along_axis(perm_z, sel_pos, -1))
 
     def render_rays(self, key, rays_o, rays_d, viewdirs, is_train=True,
                     perturb: Optional[float] = None, fine_cull: bool = False):

@@ -183,6 +183,21 @@ class VoxelNeRF(nn.Module):
                 # there is dominated by the scatters).
                 pp, pl_ = jax.lax.optimization_barrier((tuple(pp),
                                                         tuple(pl_)))
+            if os.environ.get("EVDN_FOLD_BASIS"):
+                # layout-copy experiment (VERDICT r3 #7): fold the basis
+                # matmul into per-plane dots so the gather epilogues feed
+                # the MXU directly and the [N, sum(C)] concat at the
+                # {1,0}-gather -> {0,1}-dot boundary disappears. Numerics:
+                # blocked K-contraction of the same products (f32 grouping
+                # only). Measurement decides whether this becomes a flag.
+                kernel = self.basis_mat.variables["params"]["kernel"]
+                feats = triplane.triplane_features_packed_folded(
+                    pp, pl_, xyz, kernel, table_bf16=self.table_bf16,
+                    line_matmul=self.line_matmul,
+                    compute_bf16=compute_bf16)
+                feats = checkpoint_name(feats, "triplane_feats")
+                return ACTIVATIONS[self.app_actfn](feats).reshape(
+                    *shape, self.app_dim)
             feats = triplane.triplane_features_packed(
                 pp, pl_, xyz, table_bf16=self.table_bf16,
                 line_matmul=self.line_matmul,

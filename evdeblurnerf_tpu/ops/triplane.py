@@ -383,6 +383,43 @@ def triplane_features_packed(packed_planes, packed_lines, xyz,
     return jnp.concatenate(feats, axis=-1)
 
 
+def triplane_features_packed_folded(packed_planes, packed_lines, xyz,
+                                    basis_kernel, table_bf16=False,
+                                    line_matmul=False, compute_bf16=False):
+    """:func:`triplane_features_packed` with the basis matmul FOLDED into
+    per-plane dots: ``sum_i (plane_i(xy) * line_i(z)) @ kernel[seg_i]``.
+
+    Same blocked K-contraction the tp path uses device-locally
+    (:func:`triplane_features_tp`) — equivalent to
+    ``triplane_features_packed(...) @ basis_kernel`` up to f32 summation
+    grouping. The motivation on one chip is LAYOUT, not FLOPs: the
+    ``[N, sum(C_i)]`` concat of gather-produced segments sits at the
+    {1,0}-gather -> {0,1}-dot boundary where XLA inserts relayout copies
+    (~110 ms/step, ~35 ms/eval-chunk budgeted in PERF_NOTES round 3);
+    per-plane dots feed each gather's epilogue straight into its own MXU
+    pass and the concat disappears. Returns ``[N, app_dim]``.
+    """
+    comps = [int(p[0].shape[-1]) // 4 for p in packed_planes]
+    offs = [0, comps[0], comps[0] + comps[1], sum(comps)]
+    out = None
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        packed, H, W = packed_planes[i]
+        pf = grid_sample_2d_packed(packed, H, W, xyz[:, m0], xyz[:, m1],
+                                   table_bf16=table_bf16,
+                                   compute_bf16=compute_bf16)
+        packed_l, D = packed_lines[i]
+        lf = grid_sample_1d_packed(packed_l, D, xyz[:, VEC_MODE[i]],
+                                   table_bf16=table_bf16,
+                                   line_matmul=line_matmul,
+                                   compute_bf16=compute_bf16)
+        seg = basis_kernel[offs[i]:offs[i + 1]]
+        prod = pf * lf
+        part = prod @ seg.astype(prod.dtype)
+        out = part if out is None else out + part
+    return out
+
+
 def tv_loss_2d(x):
     """Total-variation regularizer on a [C, H, W] grid
     (ref: voxnerf.py:306-324 with batch_size=1)."""

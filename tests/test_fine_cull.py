@@ -100,8 +100,9 @@ def test_cull_select_drops_occluded_keeps_deepest():
     # + the always-kept deepest lane 15; spare capacity backfills with the
     # shallowest culled lanes 5, 6
     assert set(sel[0]) == {0, 1, 2, 3, 4, 15, 5, 6}
-    # ray 1: nothing culled; capacity keeps deepest + 7 shallowest
-    assert set(sel[1]) == {15, 0, 1, 2, 3, 4, 5, 6}
+    # ray 1: nothing culled (16 survivors > capacity 8) -> even Bresenham
+    # decimation by depth rank, keeping full depth coverage incl. deepest
+    assert set(sel[1]) == {1, 3, 5, 7, 9, 11, 13, 15}
 
 
 @pytest.mark.slow
