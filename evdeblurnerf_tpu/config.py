@@ -260,6 +260,13 @@ FLAG_SPEC = [
     _flag("fine_cull_eps", float, 1e-3,
           help="coarse-transmittance floor below which a fine-pass sample "
                "is cullable (bounds the per-ray color error)"),
+    _bool("fine_cull_eval",
+          help="apply the transmittance cull (same capacity/eps) to "
+               "eval/test renders too. OFF by default: the metric-"
+               "measurement path stays reference-protocol full sampling "
+               "(VERDICT r3 Weak #3 discipline); turn on for preview/"
+               "video renders or after bounding the delta with "
+               "tools/eval_cull_ab.py on your scene"),
     _flag("fine_cull_start_iter", int, 1000,
           help="enable fine culling only from this iteration (early "
                "training has near-uniform transmittance — nothing is "

@@ -330,12 +330,17 @@ class EvDeblurNeRF(nn.Module):
     # -----------------------------------------------------------------
     # evaluation (ref: renderer.py:393-397, 594-626; chunking by caller)
     # -----------------------------------------------------------------
-    def render_chunk(self, rays):
+    def render_chunk(self, rays, fine_cull: bool = False):
         """Deterministic eval render of a fixed-size ray chunk.
 
-        rays: [R, 3, 2]. Returns (rgb [R,3], depth [R], acc [R])."""
+        rays: [R, 3, 2]. ``fine_cull`` (static): transmittance-cull the
+        fine pass at eval too (--fine_cull_eval; deterministic here —
+        perturb=0 makes the importance depths and hence the selection a
+        pure function of the weights). Returns (rgb [R,3], depth [R],
+        acc [R])."""
         key = jax.random.PRNGKey(0)   # unused: perturb=0, no noise at eval
-        ret = self.renderer.render(key, rays, is_train=False, perturb=0.0)
+        ret = self.renderer.render(key, rays, is_train=False, perturb=0.0,
+                                   fine_cull=fine_cull)
         return ret["rgb_map"], ret["depth_map"], ret["acc_map"]
 
     def __call__(self, key, rays, rays_info=None, force_naive=True,

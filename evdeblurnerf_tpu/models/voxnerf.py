@@ -183,7 +183,8 @@ class VoxelNeRF(nn.Module):
                 # there is dominated by the scatters).
                 pp, pl_ = jax.lax.optimization_barrier((tuple(pp),
                                                         tuple(pl_)))
-            if os.environ.get("EVDN_FOLD_BASIS"):
+            if (os.environ.get("EVDN_FOLD_BASIS")
+                    and not self.is_initializing()):
                 # layout-copy experiment (VERDICT r3 #7): fold the basis
                 # matmul into per-plane dots so the gather epilogues feed
                 # the MXU directly and the [N, sum(C)] concat at the

@@ -49,17 +49,21 @@ FORMAT_VERSION = 1
 
 
 def make_render_fn(model, variables, crf=None, crf_params=None,
-                   skip_learn_crf: bool = False):
+                   skip_learn_crf: bool = False, fine_cull: bool = False):
     """``rays [chunk,3,2] -> (rgb [chunk,3], depth, acc)`` with the trained
     weights closed over (they become artifact constants under export).
 
     Folding the rgb CRF into the chunk program is pointwise, so it is
     equivalent to the reference's post-render chunked CRF application
-    (ref: run_nerf.py:660, networks/tonemapping.py:141-154)."""
+    (ref: run_nerf.py:660, networks/tonemapping.py:141-154).
+    ``fine_cull`` bakes the transmittance-culled fine pass into the
+    artifact (--fine_cull_eval; bound the quality delta with
+    tools/eval_cull_ab.py before shipping it)."""
 
     def render(rays):
         rgb, depth, acc = model.apply(variables, rays,
-                                      method=model.render_chunk)
+                                      method=model.render_chunk,
+                                      fine_cull=fine_cull)
         if crf is not None:
             rgb = crf.apply({"params": crf_params}, rgb, mode="encode_rgb",
                             skip_learn_crf=skip_learn_crf)
@@ -70,7 +74,8 @@ def make_render_fn(model, variables, crf=None, crf_params=None,
 
 def export_renderer(model, variables, chunk: int = 32768, crf=None,
                     crf_params=None, skip_learn_crf: bool = False,
-                    mesh=None, meta: Optional[dict] = None):
+                    mesh=None, meta: Optional[dict] = None,
+                    fine_cull: bool = False):
     """AOT-export the eval renderer; returns ``(exported, meta)``.
 
     ``meta`` entries (e.g. H/W/K/near/far) are merged into the header so
@@ -93,7 +98,8 @@ def export_renderer(model, variables, chunk: int = 32768, crf=None,
                       "out_shardings": NamedSharding(mesh, P())}
     fn = jax.jit(make_render_fn(model, variables, crf=crf,
                                 crf_params=crf_params,
-                                skip_learn_crf=skip_learn_crf),
+                                skip_learn_crf=skip_learn_crf,
+                                fine_cull=fine_cull),
                  **jit_kwargs)
     spec = jax.ShapeDtypeStruct((int(chunk), 3, 2), jnp.float32)
     exported = jax.export.export(fn)(spec)
@@ -104,6 +110,7 @@ def export_renderer(model, variables, chunk: int = 32768, crf=None,
         "nr_devices": int(exported.nr_devices),
         "crf_folded": crf is not None,
         "skip_learn_crf": bool(skip_learn_crf),
+        "fine_cull": bool(fine_cull),
         "jax_version": jax.__version__,
     }
     header.update(meta or {})
@@ -244,6 +251,8 @@ def export_experiment(args, out_path: str, chunk: int = 32768,
     exported, meta = export_renderer(
         model, variables, chunk=chunk, mesh=mesh,
         crf=crf, crf_params=state.params["crf"],
+        fine_cull=bool(getattr(args, "fine_cull_eval", False)
+                       and getattr(args, "fine_cull_capacity", 0.0) > 0),
         # match the training-time render of this same checkpoint: the
         # learned CRF head only applies once training has reached
         # tone_mapping_start_learn_iter (train/loop.py render cadence)

@@ -20,11 +20,16 @@ import numpy as np
 from ..utils.rays import get_rays_np
 
 
-def build_chunk_renderer(model, mesh=None):
-    """Returns jitted ``chunk_fn(variables, rays[chunk, 3, 2])``."""
+def build_chunk_renderer(model, mesh=None, fine_cull: bool = False):
+    """Returns jitted ``chunk_fn(variables, rays[chunk, 3, 2])``.
+
+    ``fine_cull``: render with the transmittance-culled fine pass
+    (--fine_cull_eval) — a static trace-time choice, so on/off renderers
+    are separate compiled programs."""
 
     def render_chunk(variables, rays):
-        return model.apply(variables, rays, method=model.render_chunk)
+        return model.apply(variables, rays, method=model.render_chunk,
+                           fine_cull=fine_cull)
 
     jit_kwargs = {}
     if mesh is not None:

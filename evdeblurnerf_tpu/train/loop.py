@@ -352,7 +352,9 @@ def _train_impl(args, max_iters: Optional[int] = None):
     else:
         state = jax.device_put(state, repl)
 
-    chunk_fn = build_chunk_renderer(model, mesh=mesh)
+    chunk_fn = build_chunk_renderer(
+        model, mesh=mesh,
+        fine_cull=bool(args.fine_cull_eval and args.fine_cull_capacity > 0))
 
     def eval_variables(st):
         v = {"params": st.params["nerf"]}

@@ -105,6 +105,35 @@ def test_cull_select_drops_occluded_keeps_deepest():
     assert set(sel[1]) == {1, 3, 5, 7, 9, 11, 13, 15}
 
 
+def test_eval_render_chunk_fine_cull():
+    """--fine_cull_eval path: the deterministic eval chunk render accepts
+    the static fine_cull toggle; full-capacity cull matches the full pass
+    to reduction noise and a real capacity stays within the eps-bounded
+    color envelope (eval has perturb=0, so selection is deterministic)."""
+    rend = _mk_renderer(fine_cull_capacity=1.0, fine_cull_eps=0.0)
+    rays = _rays()
+    variables = rend.init(jax.random.PRNGKey(0), jax.random.PRNGKey(1),
+                          rays, is_train=False)
+
+    def chunk(r, cull):
+        ret = r.apply(variables, jax.random.PRNGKey(0), rays,
+                      is_train=False, perturb=0.0, fine_cull=cull,
+                      method=Renderer.render)
+        return np.asarray(ret["rgb_map"])
+
+    base = chunk(rend, False)
+    np.testing.assert_allclose(chunk(rend, True), base,
+                               rtol=2e-5, atol=2e-6)
+    # a lossy capacity still renders finite, in-range colors near baseline
+    rend_half = _mk_renderer(fine_cull_capacity=0.5, fine_cull_eps=1e-3)
+    half = chunk(rend_half, True)
+    assert np.all(np.isfinite(half))
+    # untrained fields are near-transparent: eps-bounded culling cannot
+    # move the composite far (the bound is loose on purpose — the real
+    # quality gate is tools/eval_cull_ab.py on a trained checkpoint)
+    assert float(np.abs(half - base).max()) < 0.15
+
+
 @pytest.mark.slow
 def test_train_smoke_with_fine_cull(tmp_path):
     """End-to-end training phases across the fine_cull_start_iter boundary

@@ -60,6 +60,11 @@ def make_cli(args, iters):
         "--kernel_type", "RBK", "--kernel_ptnum", "5",
         "--kernel_rbk_use_origin",
         "--kernel_use_awp", "--kernel_img_embed", "32",
+        # every published AWP config sets sam_emb_width=64; the reference
+        # MAM hardcodes Linear(64,32) (ref networks/dpnerf/mam.py:60) and
+        # CRASHES at the options default of 32, so 64 is the only width the
+        # reference can actually run -- required for run_reference_e2e.py
+        "--kernel_awp_sam_emb_width", "64",
         "--kernel_start_iter", "300",
         "--use_viewdirs",
         "--use_events", "--events_N_rand", "1024", "--add_event_egm",
