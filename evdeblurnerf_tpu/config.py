@@ -248,15 +248,18 @@ FLAG_SPEC = [
     _bool("render_epi"),
 
     # TPU-framework extensions (no reference counterpart)
-    _flag("fine_cull_capacity", float, 0.0,
+    _flag("fine_cull_capacity", float, 0.25,
           help="transmittance-culled fine sampling (0 = off, reference "
                "behavior): per ray, the fine pass evaluates only the "
                "capacity*(N_samples+N_importance) samples with the largest "
                "coarse transmittance above --fine_cull_eps — occluded "
                "samples composite to ~0 weight anyway, and the step is "
                "row-issue-bound so fewer samples is the lever "
-               "(PERF_NOTES.md). Approximation gated by a quality A/B; "
-               "train-time only"),
+               "(PERF_NOTES.md). Default 0.25 is the production setting: "
+               "+69% train rays/s AND better held-out quality than full "
+               "sampling on the matched 30k-iter screen (30.30 vs 29.90 "
+               "dB; PERF_NOTES round 4). Set 0 for reference-exact "
+               "sampling; train-time only"),
     _flag("fine_cull_eps", float, 1e-3,
           help="coarse-transmittance floor below which a fine-pass sample "
                "is cullable (bounds the per-ray color error)"),
