@@ -28,6 +28,15 @@ def add_scene_args(ap):
                     help="color-DAVIS path: rectified float event coords + "
                          "ev_map, Bayer one-hot color EGM, color-pos-neg "
                          "BII CRF features (ref cdavis configs)")
+    ap.add_argument("--kernel", default="rbk",
+                    choices=["rbk", "dsk", "pbe", "none"],
+                    help="blur-kernel profile: rbk = RBK+AWP (every "
+                         "published reference config); dsk/pbe = the "
+                         "ancestral kernels without AWP (matching the "
+                         "round-3 long-horizon validation runs); none = "
+                         "sharp-frame ablation. Shared by "
+                         "tools/run_reference_e2e.py so both frameworks "
+                         "get the identical flag set")
 
 
 def ensure_scene(args):
@@ -57,14 +66,28 @@ def make_cli(args, iters):
         "--N_rand", "256", "--N_samples", "64", "--N_importance", "64",
         "--mode", "c2f",
         "--coarse_n_voxels", "1000000", "--fine_n_voxels", "8000000",
-        "--kernel_type", "RBK", "--kernel_ptnum", "5",
-        "--kernel_rbk_use_origin",
-        "--kernel_use_awp", "--kernel_img_embed", "32",
-        # every published AWP config sets sam_emb_width=64; the reference
-        # MAM hardcodes Linear(64,32) (ref networks/dpnerf/mam.py:60) and
-        # CRASHES at the options default of 32, so 64 is the only width the
-        # reference can actually run -- required for run_reference_e2e.py
-        "--kernel_awp_sam_emb_width", "64",
+    ]
+    kernel = getattr(args, "kernel", "rbk")
+    if kernel == "rbk":
+        cli += [
+            "--kernel_type", "RBK", "--kernel_ptnum", "5",
+            "--kernel_rbk_use_origin",
+            "--kernel_use_awp", "--kernel_img_embed", "32",
+            # every published AWP config sets sam_emb_width=64; the
+            # reference MAM hardcodes Linear(64,32) (ref
+            # networks/dpnerf/mam.py:60) and CRASHES at the options
+            # default of 32, so 64 is the only width the reference can
+            # actually run -- required for run_reference_e2e.py
+            "--kernel_awp_sam_emb_width", "64",
+        ]
+    elif kernel in ("dsk", "pbe"):
+        cli += [
+            "--kernel_type", kernel.upper(), "--kernel_ptnum", "5",
+            "--kernel_img_embed", "32",
+        ]
+    else:
+        cli += ["--kernel_type", "none"]
+    cli += [
         "--kernel_start_iter", "300",
         "--use_viewdirs",
         "--use_events", "--events_N_rand", "1024", "--add_event_egm",
