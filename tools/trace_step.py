@@ -61,7 +61,12 @@ def build_step():
         fine_geo_feat_dim=128, coarse_app_dim=32, fine_app_dim=32,
         kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
         triplane_bf16=args.triplane_bf16,
-        triplane_line_matmul=args.triplane_line_matmul)
+        triplane_line_matmul=args.triplane_line_matmul,
+        # trace the production default (culled fine pass) unless
+        # FINE_CULL=0 asks for the reference-exact step
+        fine_cull_capacity=float(os.environ.get(
+            "FINE_CULL", args.fine_cull_capacity)),
+        fine_cull_eps=args.fine_cull_eps)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)
@@ -107,9 +112,12 @@ def build_step():
 
     cell = {"state": state}
 
+    do_cull = cfg.fine_cull_capacity > 0.0
+
     def one():
         cell["state"], aux = step_fn(cell["state"], batch, ev_batch, key, sw,
-                                     force_naive=False, events_active=True)
+                                     force_naive=False, events_active=True,
+                                     fine_cull=do_cull)
         return float(aux["loss"])
 
     return one
