@@ -360,16 +360,21 @@ class Renderer(nn.Module):
         cfg = self.cfg
         S_all = z_cat.shape[-1]
         S_keep = max(8, int(round(cfg.fine_cull_capacity * S_all)))
-        cumw = jnp.cumsum(weights_coarse, -1)
-        cumw0 = jnp.concatenate([jnp.zeros_like(cumw[..., :1]), cumw], -1)
-        n_before = jnp.sum(
-            z_cat[..., None] > z_coarse[..., None, :], -1)     # [R, S_all]
-        T = 1.0 - jnp.take_along_axis(cumw0, n_before, axis=-1)
-        is_deepest = z_cat == jnp.max(z_cat, -1, keepdims=True)
-        keep = (T > cfg.fine_cull_eps) | is_deepest
-        # work in the depth-sorted lane domain: rank survivors, decimate
+        # work in the depth-sorted lane domain END-TO-END: T(z) depends
+        # on the z VALUE alone, so the keep mask is computed directly on
+        # the sorted depths. T before each sample = 1 - sum_j w_j
+        # [z > z_coarse_j] (w_i = T_i*alpha_i telescopes to 1 - T) as
+        # ONE fused masked reduce — the earlier cumsum + two per-lane
+        # take_along_axis formulation paid the scalar row-issue floor
+        # twice (~13% of the whole culled train step, profiled in
+        # PERF_NOTES round 4).
         z_sorted, perm_z, _ = lane_shuffle.sort_with_perm(z_cat)
-        keep_s = jnp.take_along_axis(keep, perm_z, -1)
+        occl = jnp.where(z_sorted[..., :, None] > z_coarse[..., None, :],
+                         weights_coarse[..., None, :], 0.0)
+        T = 1.0 - jnp.sum(occl, -1)                            # [R, S_all]
+        keep_s = T > cfg.fine_cull_eps
+        # the single deepest sample always survives = last sorted lane
+        keep_s = keep_s.at[..., -1].set(True)
         rank = jnp.cumsum(keep_s.astype(jnp.int32), -1)        # [R, S_all]
         n_surv = rank[..., -1:]
         sel_s = keep_s & ((rank * S_keep) // jnp.maximum(n_surv, 1)
