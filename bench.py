@@ -46,7 +46,7 @@ EVENTS_N_RAND = 4096
 
 def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         steps_in_flight=2, iters=10, arg_overrides=None, debug=False,
-        fine_cull_capacity=0.0):
+        fine_cull_capacity=0.0, on_train=None):
     """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
@@ -189,6 +189,11 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_sec = rays_per_iter / dt
+    if on_train is not None:
+        # flush the headline number the moment it exists — a deadline kill
+        # during the eval measurement must not lose the train throughput
+        # (round-4 BENCH_r04.json postmortem)
+        on_train(rays_per_sec)
 
     # eval-render throughput: the test/video rendering path (chunked
     # no-kernel render, ref protocol run_nerf.py:642-709), measured the way
@@ -285,12 +290,11 @@ _LAST_BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _emit_stale_or_die(reason: str):
-    """Backend unreachable: print the LAST real-TPU measurement, clearly
-    labeled stale, rather than nothing — or exit 3 if none was ever
-    recorded. Never fabricates: the payload is a verbatim prior
-    measurement plus ``stale: true`` + the failure reason."""
-    import sys
-
+    """No fresh measurement obtainable (backend unreachable, or deadline
+    exceeded before the train number landed): print the LAST real-TPU
+    measurement, clearly labeled stale, rather than nothing — or exit 3 if
+    none was ever recorded. Never fabricates: the payload is a verbatim
+    prior measurement plus ``stale: true`` + the failure reason."""
     try:
         with open(_LAST_BENCH) as f:
             payload = json.load(f)
@@ -298,66 +302,140 @@ def _emit_stale_or_die(reason: str):
         raise SystemExit(3)
     payload["stale"] = True
     payload["stale_reason"] = f"NOT re-measured this run: {reason}"
-    print(json.dumps(payload))
+    print(json.dumps(payload), flush=True)
     raise SystemExit(0)
 
 
+def _build_payload(rays_per_sec, eval_rays_per_sec, chip,
+                   fine_cull_capacity):
+    roofline = ROOFLINE_RAYS_PER_SEC.get(chip)
+    return {
+        "metric": "train_rays_per_sec_full_step",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        # the reference publishes no numbers; the denominator is a
+        # documented estimate (see module docstring), not a measurement
+        "baseline_kind": "estimate",
+        "eval_rays_per_sec": (round(eval_rays_per_sec, 1)
+                              if eval_rays_per_sec else None),
+        # measurement context: single chip of `chip`; the BASELINE.json
+        # north star names v5p, which this payload does NOT measure
+        "chip": chip,
+        "n_chips_measured": 1,
+        # steady-state approximation knobs active in this measurement
+        # (quality-gated in PERF_NOTES rounds 4-5; 0.0 = reference-exact
+        # sampling)
+        "fine_cull_capacity": fine_cull_capacity,
+        "roofline_rays_per_sec": roofline,
+        "roofline_fraction": (round(rays_per_sec / roofline, 3)
+                              if roofline else None),
+        # 8-chip DP extrapolation (rays are embarrassingly parallel, tables
+        # replicated; the sharded step passes numeric-equivalence tests) —
+        # a PROJECTION, no multi-chip hardware exists in this environment
+        "projected_8chip_dp_rays_per_sec": round(8 * rays_per_sec, 1),
+        "projected_8chip_vs_baseline": round(
+            8 * rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "projection_kind": "projected_unmeasured",
+    }
+
+
+def _write_json(path, payload):
+    try:
+        with open(path, "w") as f:
+            json.dump(payload, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _worker(progress_path, fine_cull_capacity):
+    """Measure and WRITE results to ``progress_path`` as they land — the
+    train payload the moment the train measurement finishes, the full
+    payload after eval. Prints nothing to stdout; the parent owns the one
+    official JSON line."""
+    _wait_for_backend()
+    import jax
+
+    chip = jax.devices()[0].device_kind
+    stamp = {"measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())}
+
+    def on_train(rays_per_sec):
+        payload = _build_payload(rays_per_sec, None, chip,
+                                 fine_cull_capacity)
+        payload["eval_not_measured"] = ("deadline hit before the eval "
+                                        "measurement completed")
+        _write_json(progress_path, {**payload, **stamp})
+
+    res = run(debug=bool(os.environ.get("BENCH_DEBUG")),
+              fine_cull_capacity=fine_cull_capacity, on_train=on_train)
+    payload = _build_payload(res["rays_per_sec"], res["eval_rays_per_sec"],
+                             chip, fine_cull_capacity)
+    _write_json(progress_path, {**payload, **stamp})
+    _write_json(_LAST_BENCH, {**payload, **stamp})
+
+
 def main():
+    """Parent/watchdog: runs the measurement in a child process and prints
+    exactly ONE JSON line in every outcome. A Python-level SIGALRM cannot
+    interrupt a long XLA compile (the handler only runs between bytecodes),
+    so the deadline lives in a plain-Python parent that can always act:
+    on child success it prints the full payload; if ``BENCH_BUDGET_S``
+    (default 560 s — under the driver's observed kill deadline) expires it
+    kills the child and prints the train-only payload if the train
+    measurement landed, else the labeled-stale prior measurement.
+    (Round-4 postmortem: BENCH_r04.json rc=124, parsed=null.)"""
     import argparse
+    import signal
+    import subprocess
+    import sys
+    import tempfile
 
     ap = argparse.ArgumentParser()
     # measurement knob for the culled-fine-pass A/Bs (PERF_NOTES round 4);
     # the OFFICIAL payload keeps the flag's production default
     ap.add_argument("--fine_cull_capacity", type=float,
                     default=_default_fine_cull())
+    ap.add_argument("--_worker", default=None, help=argparse.SUPPRESS)
     cli = ap.parse_args()
 
-    _wait_for_backend()
-    import jax
+    if cli._worker:
+        _worker(cli._worker, cli.fine_cull_capacity)
+        return
 
-    res = run(debug=bool(os.environ.get("BENCH_DEBUG")),
-              fine_cull_capacity=cli.fine_cull_capacity)
-    chip = jax.devices()[0].device_kind
-    roofline = ROOFLINE_RAYS_PER_SEC.get(chip)
-    payload = {
-        "metric": "train_rays_per_sec_full_step",
-        "value": round(res["rays_per_sec"], 1),
-        "unit": "rays/s",
-        "vs_baseline": round(
-            res["rays_per_sec"] / A100_REFERENCE_RAYS_PER_SEC, 3),
-        # the reference publishes no numbers; the denominator is a
-        # documented estimate (see module docstring), not a measurement
-        "baseline_kind": "estimate",
-        "eval_rays_per_sec": round(res["eval_rays_per_sec"], 1),
-        # measurement context: single chip of `chip`; the BASELINE.json
-        # north star names v5p, which this payload does NOT measure
-        "chip": chip,
-        "n_chips_measured": 1,
-        # steady-state approximation knobs active in this measurement
-        # (quality-gated in PERF_NOTES round 4; 0.0 = reference-exact
-        # sampling)
-        "fine_cull_capacity": cli.fine_cull_capacity,
-        "roofline_rays_per_sec": roofline,
-        "roofline_fraction": (round(res["rays_per_sec"] / roofline, 3)
-                              if roofline else None),
-        # 8-chip DP extrapolation (rays are embarrassingly parallel, tables
-        # replicated; the sharded step passes numeric-equivalence tests) —
-        # a PROJECTION, no multi-chip hardware exists in this environment
-        "projected_8chip_dp_rays_per_sec": round(
-            8 * res["rays_per_sec"], 1),
-        "projected_8chip_vs_baseline": round(
-            8 * res["rays_per_sec"] / A100_REFERENCE_RAYS_PER_SEC, 3),
-        "projection_kind": "projected_unmeasured",
-    }
+    budget = float(os.environ.get("BENCH_BUDGET_S", 560))
+    progress_path = tempfile.mktemp(prefix="bench_progress_",
+                                    suffix=".json")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--_worker", progress_path,
+         "--fine_cull_capacity", str(cli.fine_cull_capacity)],
+        stdout=sys.stderr, stderr=sys.stderr)
     try:
-        with open(_LAST_BENCH, "w") as f:
-            json.dump({**payload,
-                       "measured_utc": time.strftime(
-                           "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
-            f.write("\n")
-    except OSError:
+        rc = child.wait(timeout=budget)
+    except subprocess.TimeoutExpired:
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+        rc = None
+
+    payload = None
+    try:
+        with open(progress_path) as f:
+            payload = json.load(f)
+        os.unlink(progress_path)
+    except Exception:
         pass
-    print(json.dumps(payload))
+
+    if payload is None:
+        reason = (f"deadline ({budget:.0f}s) before the train measurement "
+                  f"completed" if rc is None else
+                  f"worker exited rc={rc} with no measurement")
+        _emit_stale_or_die(reason)
+    if rc is None:
+        payload["deadline_exceeded"] = True
+    payload.pop("measured_utc", None)
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":

@@ -145,45 +145,49 @@ class LPIPSScorer:
         hub = os.environ.get(
             "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache",
                                        "torch"))
-        candidates = glob.glob(os.path.join(hub, "hub", "checkpoints",
-                                            "alexnet-owt-*.pth"))
-        if not candidates:
-            return None
-        # torch-hub filenames embed the first 8 hex of the sha256; verify
-        # before trusting a cache file with published-comparable semantics
-        # (tools/convert_lpips_weights.py is the explicit, verbose path)
+        candidates = sorted(glob.glob(os.path.join(
+            hub, "hub", "checkpoints", "alexnet-owt-*.pth")))
+        # torch-hub filenames embed the first 8 hex of the sha256; require
+        # the pattern and VERIFY it before trusting a cache file with
+        # published-comparable semantics. Every candidate is tried — a
+        # corrupt or oddly-named first file must not shadow a valid second
+        # (tools/convert_lpips_weights.py is the explicit, verbose path).
         import hashlib
         import re
+        import warnings
 
-        m = re.search(r"alexnet-owt-([0-9a-f]{8})\.pth$",
-                      os.path.basename(candidates[0]))
-        if m:
+        for cand in candidates:
+            m = re.search(r"alexnet-owt-([0-9a-f]{8})\.pth$",
+                          os.path.basename(cand))
+            if not m:
+                warnings.warn(
+                    f"torch-hub cache file {cand} lacks the standard "
+                    f"sha256-prefix filename; skipping it (rename to "
+                    f"alexnet-owt-<sha8>.pth or use "
+                    f"tools/convert_lpips_weights.py explicitly)")
+                continue
             h = hashlib.sha256()
-            with open(candidates[0], "rb") as f:
+            with open(cand, "rb") as f:
                 for chunk in iter(lambda: f.read(1 << 20), b""):
                     h.update(chunk)
             if not h.hexdigest().startswith(m.group(1)):
-                import warnings
-
-                warnings.warn(
-                    f"torch-hub AlexNet at {candidates[0]} fails its "
-                    f"filename sha256 prefix; ignoring it")
-                return None
-        # lin heads: the vendored npz (always present) unless a torch-format
-        # file (e.g. an upstream LPIPS checkout's weights/v0.1/alex.pth) is
-        # pointed at via env
-        lin = os.environ.get("EVDEBLURNERF_LPIPS_LIN_PTH") or None
-        if lin is not None and not os.path.exists(lin):
-            lin = None
-        try:
-            convert_torch_weights(candidates[0], lin, _FULL_BUNDLE)
-            return cls.from_npz(_FULL_BUNDLE)
-        except Exception as exc:
-            import warnings
-
-            warnings.warn(f"found a torch-hub AlexNet at {candidates[0]} "
-                          f"but converting it failed ({exc}); falling back")
-            return None
+                warnings.warn(f"torch-hub AlexNet at {cand} fails its "
+                              f"filename sha256 prefix; ignoring it")
+                continue
+            # lin heads: the vendored npz (always present) unless a
+            # torch-format file (e.g. an upstream LPIPS checkout's
+            # weights/v0.1/alex.pth) is pointed at via env
+            lin = os.environ.get("EVDEBLURNERF_LPIPS_LIN_PTH") or None
+            if lin is not None and not os.path.exists(lin):
+                lin = None
+            try:
+                convert_torch_weights(cand, lin, _FULL_BUNDLE)
+                return cls.from_npz(_FULL_BUNDLE)
+            except Exception as exc:
+                warnings.warn(f"found a torch-hub AlexNet at {cand} "
+                              f"but converting it failed ({exc}); "
+                              f"trying the next candidate")
+        return None
 
     @classmethod
     def from_default(cls) -> "LPIPSScorer":

@@ -85,8 +85,12 @@ class RenderConfig:
     # bf16 unless EVDN_LINE_GRAD_PRECISION=highest — see ops/triplane.py);
     # off by default for exact f32 parity
     triplane_bf16: bool = False
-    # TPU-native approximation (off by default, train-only, phase-gated by
-    # --fine_cull_start_iter): transmittance-culled fine sampling — the
+    # TPU-native approximation (train-only, phase-gated by
+    # --fine_cull_start_iter; this RenderConfig field defaults 0 = exact,
+    # but config.py's --fine_cull_capacity flag defaults 0.25 since the
+    # round-4 30k screen, so default TRAINING uses the approximation —
+    # pass --fine_cull_capacity 0 for reference-exact sampling):
+    # transmittance-culled fine sampling — the
     # fine pass evaluates only the samples still visible under the COARSE
     # pass's transmittance (T > fine_cull_eps), compacted per ray to a
     # fixed capacity*S_all lane budget. Occluded samples contribute

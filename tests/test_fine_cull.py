@@ -4,7 +4,9 @@ TPU-native approximation with no reference counterpart: the fine pass
 evaluates only the samples still visible under the coarse pass's
 transmittance, compacted per ray to a fixed lane budget (the step is
 row-issue-bound, so fewer samples per ray is the row-count lever —
-PERF_NOTES.md round 4). Off by default; these tests pin its exactness
+PERF_NOTES.md round 4). The --fine_cull_capacity flag defaults 0.25
+(production training uses it; 0 restores reference-exact sampling, and
+every parity/lockstep test pins 0); these tests pin its exactness
 envelope and training integration.
 """
 

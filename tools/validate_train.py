@@ -17,6 +17,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor an explicit JAX_PLATFORMS even when a sitecustomize pre-pins the
+# backend via jax.config (the env var alone is silently overridden there)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def add_scene_args(ap):
     ap.add_argument("--scene", default="/tmp/vtrain_scene")
