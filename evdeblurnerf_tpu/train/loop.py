@@ -249,6 +249,19 @@ def _train_impl(args, max_iters: Optional[int] = None):
         jax.config.update("jax_default_matmul_precision",
                           args.matmul_precision)
 
+    # Unsupported combination — fail BEFORE the (minutes-long on real data)
+    # dataset build: component-sharded tables spanning hosts are not
+    # addressable from the primary process at checkpoint time. Documented
+    # in docs/PARITY.md "known intentional deviations".
+    if (max(1, int(getattr(args, "tp_model_parallel", 1) or 1)) > 1
+            and mh_ctx.is_multiprocess()):
+        raise NotImplementedError(
+            "--tp_model_parallel with multi-host training is not supported: "
+            "checkpointing assumes the state is addressable from the "
+            "primary process, which component-sharded tables spanning "
+            "hosts are not. Train data-parallel across hosts (the voxel "
+            "tables replicate), or tensor-parallel on a single host.")
+
     seed_everything(args.seed)
     llff, ev = build_datasets(args)
     cfg, kcfg, model, crf = build_model(args, llff)
@@ -273,13 +286,7 @@ def _train_impl(args, max_iters: Optional[int] = None):
     # voxel tables (+ their Adam moments) shard over the model axis
     # (parallel/tp.py) — capacity for grids beyond one chip's HBM.
     tp_k = max(1, int(getattr(args, "tp_model_parallel", 1) or 1))
-    if tp_k > 1 and multiproc:
-        raise NotImplementedError(
-            "--tp_model_parallel with multi-host training is not supported: "
-            "checkpointing assumes the state is addressable from the "
-            "primary process, which component-sharded tables spanning "
-            "hosts are not. Train data-parallel across hosts (the voxel "
-            "tables replicate), or tensor-parallel on a single host.")
+    assert not (tp_k > 1 and multiproc)   # rejected before build_datasets
     if tp_k > 1:
         n_total = len(jax.devices())
         if n_total % tp_k != 0:

@@ -109,6 +109,25 @@ def test_two_process_step_matches_single_process(tmp_path):
 
 
 @pytest.mark.fast
+def test_tp_multihost_rejected_fast(tmp_path, monkeypatch):
+    """--tp_model_parallel under multi-host training is an explicit,
+    documented scope cut (docs/PARITY.md): train() must reject the
+    combination with an actionable message BEFORE touching the dataset
+    (the datadir here doesn't exist — reaching the loader would raise a
+    different error)."""
+    from evdeblurnerf_tpu.config import default_args
+    from evdeblurnerf_tpu.parallel import multihost as mh
+    from evdeblurnerf_tpu.train.loop import train
+
+    monkeypatch.setattr(mh, "is_multiprocess", lambda: True)
+    args = default_args(basedir=str(tmp_path), expname="tpmh",
+                        datadir=str(tmp_path / "nonexistent"),
+                        dataset_type="llff", tp_model_parallel=2)
+    with pytest.raises(NotImplementedError, match="tp_model_parallel"):
+        train(args)
+
+
+@pytest.mark.fast
 def test_singleprocess_helpers_degenerate():
     """Without a distributed runtime the multihost helpers must behave
     exactly like the plain single-process path."""
