@@ -46,7 +46,7 @@ EVENTS_N_RAND = 4096
 
 def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         steps_in_flight=2, iters=10, arg_overrides=None, debug=False,
-        fine_cull_capacity=0.0, on_train=None):
+        fine_cull_capacity=0.0, coarse_cull_capacity=0.0, on_train=None):
     """Build the paper-scale step and time it; returns a result dict."""
     import jax
 
@@ -102,7 +102,8 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         kernel_feat_cnl=15, kernel_type="RBK", use_awp=True,
         triplane_bf16=args.triplane_bf16,
         triplane_line_matmul=args.triplane_line_matmul,
-        fine_cull_capacity=fine_cull_capacity)
+        fine_cull_capacity=fine_cull_capacity,
+        coarse_cull_capacity=coarse_cull_capacity)
     kcfg = kernel_config_from_args(args)
     K = ((focal, 0.0, W / 2), (0.0, focal, H / 2), (0.0, 0.0, 1.0))
     model = EvDeblurNeRF(cfg=cfg, kcfg=kcfg, num_images=30, K=K)
@@ -152,10 +153,25 @@ def run(n_rand=N_RAND, events_n_rand=EVENTS_N_RAND, grad_accum=2,
         w_events_egm=annealing_interpolator(1.0, 1.0, None, "constant"),
         fine_loss_weight=0.1, events_active=True)
 
+    occ_grid = None
+    if coarse_cull_capacity > 0:
+        # throughput is content-INDEPENDENT (the culled coarse width is the
+        # fixed capacity*N_samples lane budget regardless of how many
+        # voxels are occupied), so the grid from the random-init params is
+        # as representative as a trained one; refresh cost is excluded from
+        # the step timing exactly as in production (1 refresh per 256 steps)
+        from evdeblurnerf_tpu.models.system import build_occ_grid
+
+        occ_grid = jax.jit(
+            lambda v: build_occ_grid(model, v))(
+                {"params": state.params["nerf"]})
+
     def one(state):
         return step_fn(state, batch, ev_batch, key, sw,
                        force_naive=False, events_active=True,
-                       fine_cull=fine_cull_capacity > 0)
+                       fine_cull=fine_cull_capacity > 0,
+                       coarse_cull=coarse_cull_capacity > 0,
+                       occ_grid=occ_grid)
 
     # warmup/compile; sync via host transfer — block_until_ready does not
     # actually block on remote backends, which would leak compile time into
@@ -277,12 +293,14 @@ def _wait_for_backend():
         time.sleep(min(60, attempt_timeout / 2))
 
 
-def _default_fine_cull() -> float:
-    """The bench measures the flag's PRODUCTION default so the official
+def _default_cull() -> tuple:
+    """The bench measures the flags' PRODUCTION defaults so the official
     payload always reflects what a default run trains with."""
     from evdeblurnerf_tpu.config import default_args
 
-    return float(default_args().fine_cull_capacity)
+    a = default_args()
+    return (float(a.fine_cull_capacity),
+            float(getattr(a, "coarse_cull_capacity", 0.0) or 0.0))
 
 
 _LAST_BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -307,7 +325,7 @@ def _emit_stale_or_die(reason: str):
 
 
 def _build_payload(rays_per_sec, eval_rays_per_sec, chip,
-                   fine_cull_capacity):
+                   fine_cull_capacity, coarse_cull_capacity=0.0):
     roofline = ROOFLINE_RAYS_PER_SEC.get(chip)
     return {
         "metric": "train_rays_per_sec_full_step",
@@ -327,6 +345,7 @@ def _build_payload(rays_per_sec, eval_rays_per_sec, chip,
         # (quality-gated in PERF_NOTES rounds 4-5; 0.0 = reference-exact
         # sampling)
         "fine_cull_capacity": fine_cull_capacity,
+        "coarse_cull_capacity": coarse_cull_capacity,
         "roofline_rays_per_sec": roofline,
         "roofline_fraction": (round(rays_per_sec / roofline, 3)
                               if roofline else None),
@@ -349,7 +368,7 @@ def _write_json(path, payload):
         pass
 
 
-def _worker(progress_path, fine_cull_capacity):
+def _worker(progress_path, fine_cull_capacity, coarse_cull_capacity):
     """Measure and WRITE results to ``progress_path`` as they land — the
     train payload the moment the train measurement finishes, the full
     payload after eval. Prints nothing to stdout; the parent owns the one
@@ -363,15 +382,16 @@ def _worker(progress_path, fine_cull_capacity):
 
     def on_train(rays_per_sec):
         payload = _build_payload(rays_per_sec, None, chip,
-                                 fine_cull_capacity)
+                                 fine_cull_capacity, coarse_cull_capacity)
         payload["eval_not_measured"] = ("deadline hit before the eval "
                                         "measurement completed")
         _write_json(progress_path, {**payload, **stamp})
 
     res = run(debug=bool(os.environ.get("BENCH_DEBUG")),
-              fine_cull_capacity=fine_cull_capacity, on_train=on_train)
+              fine_cull_capacity=fine_cull_capacity,
+              coarse_cull_capacity=coarse_cull_capacity, on_train=on_train)
     payload = _build_payload(res["rays_per_sec"], res["eval_rays_per_sec"],
-                             chip, fine_cull_capacity)
+                             chip, fine_cull_capacity, coarse_cull_capacity)
     _write_json(progress_path, {**payload, **stamp})
     _write_json(_LAST_BENCH, {**payload, **stamp})
 
@@ -393,15 +413,19 @@ def main():
     import tempfile
 
     ap = argparse.ArgumentParser()
-    # measurement knob for the culled-fine-pass A/Bs (PERF_NOTES round 4);
-    # the OFFICIAL payload keeps the flag's production default
+    # measurement knobs for the culled-pass A/Bs (PERF_NOTES rounds 4-5);
+    # the OFFICIAL payload keeps the flags' production defaults
+    fine_default, coarse_default = _default_cull()
     ap.add_argument("--fine_cull_capacity", type=float,
-                    default=_default_fine_cull())
+                    default=fine_default)
+    ap.add_argument("--coarse_cull_capacity", type=float,
+                    default=coarse_default)
     ap.add_argument("--_worker", default=None, help=argparse.SUPPRESS)
     cli = ap.parse_args()
 
     if cli._worker:
-        _worker(cli._worker, cli.fine_cull_capacity)
+        _worker(cli._worker, cli.fine_cull_capacity,
+                cli.coarse_cull_capacity)
         return
 
     budget = float(os.environ.get("BENCH_BUDGET_S", 560))
@@ -410,7 +434,8 @@ def main():
     child = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--_worker", progress_path,
-         "--fine_cull_capacity", str(cli.fine_cull_capacity)],
+         "--fine_cull_capacity", str(cli.fine_cull_capacity),
+         "--coarse_cull_capacity", str(cli.coarse_cull_capacity)],
         stdout=sys.stderr, stderr=sys.stderr)
     try:
         rc = child.wait(timeout=budget)

@@ -274,6 +274,34 @@ FLAG_SPEC = [
           help="enable fine culling only from this iteration (early "
                "training has near-uniform transmittance — nothing is "
                "safely cullable and the capacity would clip real samples)"),
+    _flag("coarse_cull_capacity", float, 0.0,
+          help="occupancy-grid culled COARSE sampling (0 = off, reference "
+               "behavior): per ray, the coarse pass evaluates only the "
+               "capacity*N_samples stratified samples inside occupied "
+               "voxels of a periodically refreshed occupancy grid, plus "
+               "an every---occ_probe_stride-th-lane probe floor. The "
+               "coarse table scatter-backward alone is ~29%% of the "
+               "culled step (PERF_NOTES round 4 profile); train-time "
+               "only, eval always full sampling"),
+    _flag("coarse_cull_start_iter", int, 1000,
+          help="enable coarse culling only from this iteration (the grid "
+               "is derived from the still-training coarse density)"),
+    _flag("occ_grid_size", int, 64,
+          help="occupancy grid resolution G (G^3 cells over the scene "
+               "aabb)"),
+    _flag("occ_eps", float, 1e-4,
+          help="per-sample alpha threshold below which a voxel counts as "
+               "empty at the grid refresh"),
+    _flag("occ_dilate", int, 1,
+          help="rounds of 3^3 max-pool dilation applied to the occupancy "
+               "grid at refresh"),
+    _flag("occ_probe_stride", int, 8,
+          help="keep every k-th stratified lane regardless of occupancy "
+               "(whole-ray coverage so a stale grid self-corrects)"),
+    _flag("occ_refresh_every", int, 256,
+          help="refresh the occupancy grid from the current coarse "
+               "density every N steps (also at resume; the grid is "
+               "derived state, never checkpointed)"),
     _bool("remat", default=False,
           help="rematerialize render activations in backward; measured "
                "strictly worse than --grad_accum 2 on v5e (PERF_NOTES.md: "

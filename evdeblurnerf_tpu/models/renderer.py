@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import compositing, lane_shuffle
+from ..ops import compositing, lane_shuffle, occupancy
 from ..ops.sample_pdf import sample_pdf
 from ..utils.rays import get_ndc_rays
 from .embedding import positional_encoding
@@ -100,6 +100,19 @@ class RenderConfig:
     # the gathers, scatters and MLP FLOPs of every culled sample.
     fine_cull_capacity: float = 0.0
     fine_cull_eps: float = 1e-3
+    # TPU-native approximation (train-only, phase-gated by
+    # --coarse_cull_start_iter): occupancy-grid culled COARSE sampling —
+    # evaluate the coarse field only at stratified samples inside occupied
+    # voxels of a periodically refreshed G^3 occupancy grid
+    # (ops/occupancy.py), plus an every-``occ_probe_stride``-th-lane probe
+    # floor (whole-ray coverage so a stale grid self-corrects), compacted
+    # per ray to capacity*N_samples lanes with the same Bresenham
+    # decimation as the fine cull. 0 = reference-exact coarse sampling.
+    coarse_cull_capacity: float = 0.0
+    occ_grid_size: int = 64
+    occ_eps: float = 1e-4
+    occ_dilate: int = 1
+    occ_probe_stride: int = 8
     # TPU-native: line-table rows via one-hot MXU matmul (backward becomes
     # a matmul instead of a scatter-add)
     triplane_line_matmul: bool = False
@@ -142,6 +155,12 @@ def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
         triplane_line_matmul=getattr(args, "triplane_line_matmul", False),
         fine_cull_capacity=getattr(args, "fine_cull_capacity", 0.0) or 0.0,
         fine_cull_eps=getattr(args, "fine_cull_eps", 1e-3),
+        coarse_cull_capacity=getattr(args, "coarse_cull_capacity", 0.0)
+        or 0.0,
+        occ_grid_size=getattr(args, "occ_grid_size", 64),
+        occ_eps=getattr(args, "occ_eps", 1e-4),
+        occ_dilate=getattr(args, "occ_dilate", 1),
+        occ_probe_stride=getattr(args, "occ_probe_stride", 8),
         rgb_activate=args.rgb_activate,
         sigma_activate=args.sigma_activate,
         rgb_add_bias=args.rgb_add_bias,
@@ -170,6 +189,40 @@ def config_from_args(args, aabb, H, W, focal, near, far) -> RenderConfig:
         kernel_feat_cnl=args.kernel_feat_cnl,
         use_awp=args.kernel_use_awp,
     )
+
+
+def _capacity_select_sorted(keep_s: jnp.ndarray, S_keep: int) -> jnp.ndarray:
+    """Fixed-capacity selection from a keep mask in ascending-depth lane
+    order; shared by the transmittance fine cull and the occupancy coarse
+    cull.
+
+    keep_s [R, S] bool (sorted-depth domain). The single deepest lane is
+    ALWAYS a survivor so the compositor's pinned last-alpha sample stays
+    the ray's true far sample. Under overflow the survivors are DECIMATED
+    evenly by depth rank (Bresenham: survivor of rank r is selected iff
+    floor(r*K/n) > floor((r-1)*K/n)) — preserving depth coverage of the
+    kept interval at a coarser step; tail-truncation instead cost -5 dB at
+    capacity 0.25 (PERF_NOTES round 4). Spare capacity backfills first
+    with unselected survivors, then with the shallowest culled lanes
+    (real evaluations — strictly more accurate than padding). Returns
+    int32 positions [R, S_keep] into the sorted domain, ordered by
+    (priority, depth), NOT by depth — callers re-sort as needed. All ops
+    lane-dimension (one lane sort, no row gathers).
+    """
+    S_all = keep_s.shape[-1]
+    keep_s = keep_s.at[..., -1].set(True)
+    rank = jnp.cumsum(keep_s.astype(jnp.int32), -1)            # [R, S_all]
+    n_surv = rank[..., -1:]
+    sel_s = keep_s & ((rank * S_keep) // jnp.maximum(n_surv, 1)
+                      > ((rank - 1) * S_keep) // jnp.maximum(n_surv, 1))
+    # priority 0: decimation-selected survivors; 1: unselected survivors
+    # (backfill); 2: culled — each ascending in z (the sorted-domain
+    # position breaks ties)
+    prio = jnp.where(sel_s, 0, jnp.where(keep_s, 1, 2))
+    pos = jnp.broadcast_to(jnp.arange(S_all, dtype=jnp.int32), prio.shape)
+    _, perm2, _ = lane_shuffle.sort_with_perm(
+        (prio * S_all + pos).astype(jnp.float32))
+    return perm2[..., :S_keep]
 
 
 class Renderer(nn.Module):
@@ -363,7 +416,12 @@ class Renderer(nn.Module):
         """
         cfg = self.cfg
         S_all = z_cat.shape[-1]
-        S_keep = max(8, int(round(cfg.fine_cull_capacity * S_all)))
+        # the keep budget is a fraction of the REFERENCE fine workload
+        # (N_samples + N_importance), independent of how many coarse
+        # candidates survive an upstream coarse cull — so the two cull
+        # knobs compose without shrinking each other's budget
+        S_keep = min(S_all, max(8, int(round(
+            cfg.fine_cull_capacity * (cfg.N_samples + cfg.N_importance)))))
         # work in the depth-sorted lane domain END-TO-END: T(z) depends
         # on the z VALUE alone, so the keep mask is computed directly on
         # the sorted depths. T before each sample = 1 - sum_j w_j
@@ -377,33 +435,42 @@ class Renderer(nn.Module):
                          weights_coarse[..., None, :], 0.0)
         T = 1.0 - jnp.sum(occl, -1)                            # [R, S_all]
         keep_s = T > cfg.fine_cull_eps
-        # the single deepest sample always survives = last sorted lane
-        keep_s = keep_s.at[..., -1].set(True)
-        rank = jnp.cumsum(keep_s.astype(jnp.int32), -1)        # [R, S_all]
-        n_surv = rank[..., -1:]
-        sel_s = keep_s & ((rank * S_keep) // jnp.maximum(n_surv, 1)
-                          > ((rank - 1) * S_keep) // jnp.maximum(n_surv, 1))
-        # priority 0: decimation-selected survivors; 1: unselected
-        # survivors (backfill); 2: culled — each ascending in z (the
-        # sorted-domain position breaks ties)
-        prio = jnp.where(sel_s, 0, jnp.where(keep_s, 1, 2))
-        pos = jnp.broadcast_to(jnp.arange(S_all, dtype=jnp.int32),
-                               prio.shape)
-        _, perm2, _ = lane_shuffle.sort_with_perm(
-            (prio * S_all + pos).astype(jnp.float32))
-        sel_pos = perm2[..., :S_keep]
+        sel_pos = _capacity_select_sorted(keep_s, S_keep)
         return jax.lax.stop_gradient(
             jnp.take_along_axis(perm_z, sel_pos, -1))
 
+    def _coarse_cull_select(self, occ_grid, pts):
+        """Occupancy keep-mask + fixed-capacity selection for the coarse
+        pass: positions [R, Kc] (ascending depth) into the stratified lane
+        set. keep = occupied-voxel samples | an every-probe_stride-th lane
+        floor (whole-ray coverage: density drifting up inside culled
+        voxels is re-observed and the grid self-corrects at the next
+        refresh) | the deepest lane (pinned far sample); decimated /
+        backfilled to capacity exactly like the fine cull."""
+        cfg = self.cfg
+        Kc = min(cfg.N_samples, max(8, int(round(
+            cfg.coarse_cull_capacity * cfg.N_samples))))
+        occ = occupancy.lookup_bits(
+            occ_grid, self.mlp_coarse.normalize_coords(pts))
+        probe = (jnp.arange(cfg.N_samples, dtype=jnp.int32)
+                 % max(1, cfg.occ_probe_stride)) == 0
+        keep = (occ > 0.5) | probe[None, :]
+        sel_pos = _capacity_select_sorted(keep, Kc)
+        return jax.lax.stop_gradient(jnp.sort(sel_pos, axis=-1))
+
     def render_rays(self, key, rays_o, rays_d, viewdirs, is_train=True,
-                    perturb: Optional[float] = None, fine_cull: bool = False):
+                    perturb: Optional[float] = None, fine_cull: bool = False,
+                    coarse_cull: bool = False, occ_grid=None):
         """Render a fixed-size ray batch.
 
         rays_o/rays_d: [R, 3] (already NDC if applicable); viewdirs [R, 3]
         or None. ``fine_cull`` (static): enable the transmittance-culled
         fine pass (c2f mode, train phases past --fine_cull_start_iter).
-        Returns a dict with rgb/depth/acc/weights (+ coarse rgb0... and
-        per-sample fine features for AWP).
+        ``coarse_cull`` (static) + ``occ_grid`` (traced [G*G, G] bits):
+        enable the occupancy-culled coarse pass (train phases past
+        --coarse_cull_start_iter). Returns a dict with
+        rgb/depth/acc/weights (+ coarse rgb0... and per-sample fine
+        features for AWP).
         """
         cfg = self.cfg
         R = rays_o.shape[0]
@@ -415,6 +482,18 @@ class Renderer(nn.Module):
         fine_cull = (fine_cull and cfg.mode == "c2f"
                      and cfg.fine_cull_capacity > 0.0
                      and cfg.N_importance > 0)
+        coarse_cull = (coarse_cull and occ_grid is not None
+                       and cfg.mode == "c2f"
+                       and cfg.coarse_cull_capacity > 0.0 and is_train)
+        if coarse_cull:
+            sel_pos = self._coarse_cull_select(occ_grid, pts)
+            z_vals = jnp.take_along_axis(z_vals, sel_pos, -1)
+            pts = (rays_o[..., None, :]
+                   + rays_d[..., None, :] * z_vals[..., :, None])
+            # fresh iid noise at the culled width (the full-width draw
+            # above is discarded; same key, different shape)
+            noise_c = self._noise(k_noise_c, (R, z_vals.shape[-1] - 1),
+                                  is_train)
 
         if cfg.mode == "c2f":
             ft_coarse = self.mlp_coarse.sample(pts, is_train)
@@ -471,8 +550,9 @@ class Renderer(nn.Module):
                 # sort-then-evaluate (renderer.py:205-213): same z values,
                 # same pts floats, same MLP, same sorted-weight recurrence;
                 # only reduction order differs (f32 noise).
-                S_all = cfg.N_samples + cfg.N_importance
                 z_cat = jnp.concatenate([z_vals, z_samples], -1)
+                S_all = z_cat.shape[-1]   # == N_samples + N_importance
+                # unless the coarse pass was occupancy-culled upstream
                 z_all, perm, inv_perm = lane_shuffle.sort_with_perm(z_cat)
                 pts_new = (rays_o[..., None, :]
                            + rays_d[..., None, :] * z_samples[..., :, None])
@@ -520,7 +600,7 @@ class Renderer(nn.Module):
         return ret
 
     def render(self, key, rays, is_train=True, perturb=None,
-               fine_cull=False):
+               fine_cull=False, coarse_cull=False, occ_grid=None):
         """Pack + render rays given as [R, 3, 2] (o, d stacked on last dim),
         applying NDC projection and viewdir normalization
         (ref: renderer.py:399-466)."""
@@ -528,12 +608,14 @@ class Renderer(nn.Module):
         rays_o, rays_d, viewdirs = self._unpack_rays(rays)
         ret = self.render_rays(key, rays_o, rays_d, viewdirs,
                                is_train=is_train, perturb=perturb,
-                               fine_cull=fine_cull)
+                               fine_cull=fine_cull,
+                               coarse_cull=coarse_cull, occ_grid=occ_grid)
         if cfg.use_awp:
             ret["rays_d"] = rays_d
         return ret
 
-    def coarse_render(self, key, rays, is_train=True, perturb=None):
+    def coarse_render(self, key, rays, is_train=True, perturb=None,
+                      coarse_cull=False, occ_grid=None):
         """Single coarse pass returning (rgb, per-sample features); used by
         the PBE kernel's stage-0 (ref: renderer.py:468-592)."""
         cfg = self.cfg
@@ -542,6 +624,17 @@ class Renderer(nn.Module):
         k_strat, k_noise = jax.random.split(key)
         z_vals, pts, noise = self._coarse_setup(
             k_strat, k_noise, rays_o, rays_d, is_train, perturb)
+        coarse_cull = (coarse_cull and occ_grid is not None
+                       and cfg.mode == "c2f"
+                       and cfg.coarse_cull_capacity > 0.0 and is_train)
+        if coarse_cull:
+            sel_pos = self._coarse_cull_select(occ_grid, pts)
+            z_vals = jnp.take_along_axis(z_vals, sel_pos, -1)
+            pts = (rays_o[..., None, :]
+                   + rays_d[..., None, :] * z_vals[..., :, None])
+            noise = self._noise(k_noise,
+                                (rays.shape[0], z_vals.shape[-1] - 1),
+                                is_train)
         if cfg.mode == "c2f":
             ft = self.mlp_coarse.sample(pts, is_train)
             rgb, _, _, _, feat = self.mlp_coarse(
@@ -551,6 +644,15 @@ class Renderer(nn.Module):
                 self.mlp_coarse, pts, viewdirs, z_vals, rays_d, noise,
                 is_train, composite_feature=cfg.composite_feature_coarse)
         return rgb, feat
+
+    def coarse_sigma_grid(self):
+        """Raw coarse density at the occupancy-grid voxel centers
+        [G, G, G] (c2f only) — the input to the periodic occupancy-grid
+        refresh (ops/occupancy.py::grid_from_sigma)."""
+        assert self.cfg.mode == "c2f", "occupancy grid requires c2f fields"
+        centers = occupancy.voxel_centers(self.cfg.aabb,
+                                          self.cfg.occ_grid_size)
+        return self.mlp_coarse.density(centers)
 
     def tv_loss(self):
         """Grid TV regularizer x5 (ref: renderer.py:361-365)."""

@@ -226,13 +226,15 @@ class EvDeblurNeRF(nn.Module):
     # -----------------------------------------------------------------
     def train_forward(self, key, rays, rays_info: Optional[Dict[str, Any]],
                       force_naive: bool = True, return_pts0_rgb: bool = False,
-                      fine_cull: bool = False):
+                      fine_cull: bool = False, coarse_cull: bool = False,
+                      occ_grid=None):
         """rays: [N, 3, 2]; rays_info: dict with images_idx [N], rays_x [N],
         rays_y [N], poses [N, 3, 4] (None for naive event renders).
 
-        ``force_naive``/``return_pts0_rgb``/``fine_cull`` are static
-        (``fine_cull`` enables the transmittance-culled fine pass — see
-        RenderConfig.fine_cull_capacity). Returns
+        ``force_naive``/``return_pts0_rgb``/``fine_cull``/``coarse_cull``
+        are static (``fine_cull`` enables the transmittance-culled fine
+        pass, ``coarse_cull`` + the traced ``occ_grid`` bits the
+        occupancy-culled coarse pass — see RenderConfig). Returns
         (rgb [N,3], rgb1 [N,3] or None, other_loss dict, other_tensors dict).
         """
         cfg, kcfg = self.cfg, self.kcfg
@@ -242,7 +244,9 @@ class EvDeblurNeRF(nn.Module):
         if self.kernelnet is None or force_naive:
             k_render, _ = jax.random.split(key)
             ret = self.renderer.render(k_render, rays, is_train=True,
-                                       fine_cull=fine_cull)
+                                       fine_cull=fine_cull,
+                                       coarse_cull=coarse_cull,
+                                       occ_grid=occ_grid)
             rgb = ret["rgb_map"]
             rgb1 = ret.get("rgb0")
             if return_pts0_rgb:
@@ -271,7 +275,8 @@ class EvDeblurNeRF(nn.Module):
                 k_stage0_jit, self._intrinsics(), rays_info["rays_x"],
                 rays_info["rays_y"], img_idx, rays_info["poses"], img_embed)
             rgb0_flat, feats = self.renderer.coarse_render(
-                k_stage0_rnd, new_rays0.reshape(-1, 3, 2), is_train=True)
+                k_stage0_rnd, new_rays0.reshape(-1, 3, 2), is_train=True,
+                coarse_cull=coarse_cull, occ_grid=occ_grid)
             rgb0_pts = rgb0_flat.reshape(N, pt_num, 3)
             rgb0_stage0 = jnp.sum(rgb0_pts * weight0[..., None], axis=1)
             feats = feats.reshape(N, pt_num, -1)
@@ -288,7 +293,9 @@ class EvDeblurNeRF(nn.Module):
                 feats=feats)
 
         ret = self.renderer.render(k_render, new_rays.reshape(-1, 3, 2),
-                                   is_train=True, fine_cull=fine_cull)
+                                   is_train=True, fine_cull=fine_cull,
+                                   coarse_cull=coarse_cull,
+                                   occ_grid=occ_grid)
         rgb_pts = ret["rgb_map"].reshape(N, pt_num, 3)
         rgb1_pts = (ret["rgb0"].reshape(N, pt_num, 3)
                     if cfg.N_importance > 0 else None)
@@ -343,11 +350,36 @@ class EvDeblurNeRF(nn.Module):
                                    fine_cull=fine_cull)
         return ret["rgb_map"], ret["depth_map"], ret["acc_map"]
 
+    def coarse_sigma_grid(self):
+        """Raw coarse density over the occupancy-grid voxel centers; see
+        :func:`build_occ_grid`."""
+        return self.renderer.coarse_sigma_grid()
+
     def __call__(self, key, rays, rays_info=None, force_naive=True,
-                 return_pts0_rgb=True, fine_cull=False):
+                 return_pts0_rgb=True, fine_cull=False, coarse_cull=False,
+                 occ_grid=None):
         # init/tracing entry point: run the richest path so every submodule
         # (incl. kernel + AWP when configured) creates its parameters
         return self.train_forward(key, rays, rays_info,
                                   force_naive=force_naive,
                                   return_pts0_rgb=return_pts0_rgb,
-                                  fine_cull=fine_cull)
+                                  fine_cull=fine_cull,
+                                  coarse_cull=coarse_cull,
+                                  occ_grid=occ_grid)
+
+
+def build_occ_grid(model, variables):
+    """Refresh the occupancy bit-grid from the CURRENT coarse parameters.
+
+    ``model``: EvDeblurNeRF (or Renderer) with c2f fields; ``variables``:
+    {"params": ...}. Pure function of the coarse params — recomputed every
+    --occ_refresh_every steps and at resume, never checkpointed. Returns
+    the [G*G, G] f32 bit layout ops/occupancy.py::lookup_bits consumes.
+    Callers jit this (the G^3 density sweep is ~one eval chunk of work)."""
+    from ..ops import occupancy
+
+    sigma = model.apply(variables, method=model.coarse_sigma_grid)
+    cfg = model.cfg
+    delta = (cfg.far - cfg.near) / cfg.N_samples
+    return occupancy.grid_from_sigma(sigma, delta, cfg.occ_eps,
+                                     cfg.occ_dilate)

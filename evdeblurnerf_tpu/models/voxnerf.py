@@ -212,6 +212,23 @@ class VoxelNeRF(nn.Module):
         feats = self.basis_mat(feats)
         return ACTIVATIONS[self.app_actfn](feats).reshape(*shape, self.app_dim)
 
+    def density(self, pts):
+        """Raw (pre-activation) sigma at world pts [..., 3] — the sigma-net
+        head of :meth:`__call__` without compositing or color. Used by the
+        occupancy-grid refresh (ops/occupancy.py); evaluated in eval mode
+        (no noise; bf16 chain if configured — the grid is a dilated
+        threshold, insensitive to bf16 rounding)."""
+        shape = pts.shape[:-1]
+        fts = self.sample(pts, is_train=False)
+        pe = positional_encoding(pts.reshape(-1, 3), self.multires,
+                                 double_angle=self._eval_bf16(False))
+        h = jnp.concatenate([fts.reshape(pe.shape[0], -1), pe], -1)
+        for l, layer in enumerate(self.sigma_net):
+            h = layer(h)
+            if l != self.num_layers - 1:
+                h = nn.relu(h)
+        return h[..., 0].reshape(shape)
+
     def tv_loss_app(self):
         """(ref: voxnerf.py:126-130)"""
         return triplane.tv_loss_app(self.app_plane, self.app_line)

@@ -438,6 +438,23 @@ def _train_impl(args, max_iters: Optional[int] = None):
         ev_prefetch = Prefetcher(lambda: ev.batch(next(ev_iter)),
                                  sharding=batch_shard, put_fn=put_fn)
 
+    # occupancy-grid coarse cull: the grid is DERIVED state (a pure
+    # function of the coarse params) — refreshed every occ_refresh_every
+    # steps and on (re)start, never checkpointed. Replicated over the mesh
+    # (G^3 bits, ~1 MB at G=64).
+    occ_grid = None
+    build_occ = None
+    if (getattr(args, "coarse_cull_capacity", 0.0) or 0.0) > 0 \
+            and args.mode == "c2f":
+        from ..models.system import build_occ_grid
+
+        build_occ = jax.jit(lambda variables: build_occ_grid(model,
+                                                             variables))
+
+    def refresh_occ_grid(state):
+        grid = build_occ({"params": state.params["nerf"]})
+        return jax.device_put(grid, replicated_sharding(mesh))
+
     N_iters = args.N_iters if max_iters is None else min(args.N_iters,
                                                          start + max_iters)
     # ref run_nerf.py:417: the flags set only the INITIAL value; the 10k
@@ -451,6 +468,12 @@ def _train_impl(args, max_iters: Optional[int] = None):
             force_naive = i < args.kernel_start_iter
             fine_cull = (args.fine_cull_capacity > 0
                          and i >= args.fine_cull_start_iter)
+            coarse_cull = (build_occ is not None
+                           and i >= args.coarse_cull_start_iter)
+            if coarse_cull and (occ_grid is None
+                                or (i - args.coarse_cull_start_iter)
+                                % args.occ_refresh_every == 0):
+                occ_grid = refresh_occ_grid(state)
             events_active = bool(
                 args.add_event_egm and ev_prefetch is not None
                 and (args.add_event_egm_startiter is None
@@ -486,7 +509,9 @@ def _train_impl(args, max_iters: Optional[int] = None):
                     args.profile_dir or os.path.join(expdir, "profile"))
             state, aux = step_fn(state, batch, ev_batch, step_key, sw,
                                  force_naive, events_active,
-                                 fine_cull=fine_cull)
+                                 fine_cull=fine_cull,
+                                 coarse_cull=coarse_cull,
+                                 occ_grid=occ_grid)
             if (args.profile_start_step >= 0
                     and i == args.profile_start_step
                     + args.profile_num_steps - 1):

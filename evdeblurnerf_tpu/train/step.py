@@ -163,19 +163,19 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
     remat = bool(getattr(args, "remat", False))
 
     def nerf_apply(params, batch_stats, key, rays, rays_info, force_naive,
-                   fine_cull=False):
+                   fine_cull=False, coarse_cull=False, occ_grid=None):
         def fwd(params, batch_stats, key, rays, rays_info):
             variables = {"params": params["nerf"]}
+            kw = dict(force_naive=force_naive, return_pts0_rgb=True,
+                      fine_cull=fine_cull, coarse_cull=coarse_cull,
+                      occ_grid=occ_grid)
             if batch_stats:
                 variables["batch_stats"] = batch_stats
                 out, new_state = model.apply(
-                    variables, key, rays, rays_info, force_naive=force_naive,
-                    return_pts0_rgb=True, fine_cull=fine_cull,
-                    mutable=["batch_stats"])
+                    variables, key, rays, rays_info,
+                    mutable=["batch_stats"], **kw)
                 return out, new_state.get("batch_stats", batch_stats)
-            out = model.apply(variables, key, rays, rays_info,
-                              force_naive=force_naive, return_pts0_rgb=True,
-                              fine_cull=fine_cull)
+            out = model.apply(variables, key, rays, rays_info, **kw)
             return out, batch_stats
 
         if remat:
@@ -207,7 +207,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
 
     def loss_fn(params, batch_stats, key, batch, ev_batch, sw,
                 force_naive: bool, events_active: bool,
-                fine_cull: bool = False):
+                fine_cull: bool = False, coarse_cull: bool = False,
+                occ_grid=None):
         # three-way split kept although only two keys are consumed (the two
         # event renders were merged into one 2x-batched render): dropping
         # the third key would shift the whole RNG stream and invalidate
@@ -220,7 +221,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                      if not force_naive else None)
         (rgb, rgb1, extra_loss, extra_tensor), batch_stats = nerf_apply(
             params, batch_stats, k_img, batch["rays"], rays_info,
-            force_naive, fine_cull=fine_cull)
+            force_naive, fine_cull=fine_cull, coarse_cull=coarse_cull,
+            occ_grid=occ_grid)
 
         target = batch["rgbsf"]
         rgb_e = apply_crf(params, rgb, sw)
@@ -283,7 +285,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                                        ev_batch["events_rays_end"]], axis=0)
             (rgb_se, rgb1_se, _, _), batch_stats = nerf_apply(
                 params, batch_stats, k_ev_start, ev_rays, None, True,
-                fine_cull=fine_cull)
+                fine_cull=fine_cull, coarse_cull=coarse_cull,
+                occ_grid=occ_grid)
             s_rgb, e_rgb = jnp.split(rgb_se, 2, axis=0)
             s_rgb1, e_rgb1 = ((None, None) if rgb1_se is None
                               else jnp.split(rgb1_se, 2, axis=0))
@@ -310,13 +313,14 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
 
     @functools.lru_cache(maxsize=None)
     def jitted(force_naive: bool, events_active: bool,
-               fine_cull: bool = False):
-        def step(state, batch, ev_batch, key, sw):
+               fine_cull: bool = False, coarse_cull: bool = False):
+        def step(state, batch, ev_batch, key, sw, occ_grid):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             if accum == 1:
                 (_, (aux, new_bs)), grads = grad_fn(
                     state.params, state.batch_stats, key, batch, ev_batch,
-                    sw, force_naive, events_active, fine_cull)
+                    sw, force_naive, events_active, fine_cull, coarse_cull,
+                    occ_grid)
             else:
                 # microbatched gradient accumulation: halves (1/accum) the
                 # activation peak with ZERO recompute — strictly better than
@@ -336,7 +340,8 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
                     b, e, k = xs
                     (_, (aux_i, bs)), g = grad_fn(
                         state.params, bs, k, b, e, sw,
-                        force_naive, events_active, fine_cull)
+                        force_naive, events_active, fine_cull, coarse_cull,
+                        occ_grid)
                     grads_acc = jax.tree_util.tree_map(
                         lambda a, x: a + x, grads_acc, g)
                     return (bs, grads_acc, loss_acc + aux_i["loss"]), aux_i
@@ -378,11 +383,15 @@ def build_train_step(model, crf_module, tx, args, return_grads=False):
         return jax.jit(step, donate_argnums=(0,))
 
     def step(state, batch, ev_batch, key, sw, force_naive: bool,
-             events_active: bool, fine_cull: bool = False):
+             events_active: bool, fine_cull: bool = False,
+             coarse_cull: bool = False, occ_grid=None):
         if not events_active:
             ev_batch = {}
+        if not coarse_cull:
+            occ_grid = None
         return jitted(bool(force_naive), bool(events_active),
-                      bool(fine_cull))(state, batch, ev_batch, key, sw)
+                      bool(fine_cull), bool(coarse_cull))(
+            state, batch, ev_batch, key, sw, occ_grid)
 
     # diagnostics hook: the raw (params, ...) -> (loss, (aux, bs)) closure,
     # so tools can value_and_grad the exact production loss out-of-band

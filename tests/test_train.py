@@ -160,6 +160,37 @@ def test_train_image_batch_sampling(scene, tmp_path):
     assert int(state.step) == 5
 
 
+def test_train_coarse_cull_smoke(scene, tmp_path):
+    """Occupancy-grid coarse culling end to end through the production
+    loop: the grid refresh fires at the activation step and at the
+    refresh cadence, the culled step trains to finite params across the
+    8-device DP mesh, and training still learns (loss falls)."""
+    import json
+
+    scene_dir, _ = scene
+    args = tiny_args(
+        scene_dir, str(tmp_path), expname="occul",
+        N_iters=24, i_weights=10 ** 9, i_testset=10 ** 9, i_print=4,
+        N_samples=16, N_importance=16,
+        coarse_cull_capacity=0.5, coarse_cull_start_iter=4,
+        occ_grid_size=16, occ_refresh_every=8, occ_probe_stride=8,
+        fine_cull_capacity=0.25, fine_cull_start_iter=8,
+    )
+    state = train(args)
+    assert int(state.step) == 24
+    import jax
+
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.params)]
+    assert all(np.isfinite(x).all() for x in leaves)
+    losses = []
+    with open(os.path.join(str(tmp_path), "occul", "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == "train/loss":
+                losses.append(rec["value"])
+    assert losses and losses[-1] < losses[0]
+
+
 def test_train_tp_smoke(scene, tmp_path):
     """--tp_model_parallel 2: the production loop on a 4x2 (data x model)
     mesh with component-sharded voxel tables steps to finite params, saves
