@@ -177,6 +177,21 @@ def test_lockstep_training_events_on_matches_reference():
     assert rel[lc.CRF_LEARN_START - 1] < STRICT_RTOL
     assert rel[min(lc.CRF_LEARN_START + 1, n_steps - 1)] < STRICT_RTOL
 
+    # the color-weight gate ('i > CW_START', first weighted step 61) is
+    # past the strict window; hold a bounded looser window around it so an
+    # off-by-one in the gate can't hide in the tail-mean check. Measured
+    # agreement at steps 58-63 on this recording: 8e-4..3e-3 — a gate
+    # landing one step off applies/skips the COLOR_WEIGHTS reweighting of
+    # the EGM term, which moves the loss far beyond 2e-2.
+    if n_steps > lc.CW_START + 3:
+        rel_cw = (np.abs(losses_ours - losses_ref[:len(losses_ours)])
+                  / np.maximum(losses_ref[:len(losses_ours)], 1e-12))
+        window = rel_cw[lc.CW_START - 1:lc.CW_START + 4]
+        assert window.max() < 2e-2, (
+            f"loss diverged at the color-weight gate boundary "
+            f"(steps {lc.CW_START - 1}..{lc.CW_START + 3}): "
+            f"max rel {window.max():.2e}")
+
     # tail progress + eval render agreement (when recorded long enough)
     if n_steps >= 2 * lc.RECORD_EVAL_EVERY:
         evals_ref = data["evals_ref"]
