@@ -28,32 +28,86 @@ def _llff_ondisk_pose(c2w_final: np.ndarray, h: int, w: int,
     return np.concatenate([p, hwf], axis=1)          # [3, 5]
 
 
-def _render_image(c2w: np.ndarray, h: int, w: int, focal: float) -> np.ndarray:
-    """Tiny lambert-ish render of a unit sphere at (0, 0, -4)."""
+def _ray_box(rays_o, rays_d, lo, hi):
+    """Slab-method ray/AABB hit. Returns (hit mask, t_near, entry-face
+    normal) for axis-aligned box [lo, hi]; all inputs world-space."""
+    inv = 1.0 / np.where(np.abs(rays_d) < 1e-9, 1e-9, rays_d)
+    t0 = (lo - rays_o) * inv
+    t1 = (hi - rays_o) * inv
+    tmin_ax = np.minimum(t0, t1)
+    tmax_ax = np.maximum(t0, t1)
+    tn = tmin_ax.max(-1)
+    tf = tmax_ax.min(-1)
+    hit = (tf > np.maximum(tn, 1e-3))
+    ax = np.argmax(tmin_ax, axis=-1)
+    normal = np.zeros(rays_d.shape)
+    idx = np.indices(ax.shape)
+    normal[idx[0], idx[1], ax] = -np.sign(
+        rays_d[idx[0], idx[1], ax])
+    return hit, tn, normal
+
+
+def _render_image(c2w: np.ndarray, h: int, w: int, focal: float,
+                  geometry: str = "sphere") -> np.ndarray:
+    """Tiny lambert-ish render: ``sphere`` = a unit sphere at (0, 0, -4)
+    (the original fixture); ``boxes`` = two axis-aligned boxes at
+    different depths above a ground plane — multiple occupied islands,
+    large empty gaps, and a half-space floor, i.e. an occupancy/depth
+    structure deliberately unlike the sphere's single centered blob
+    (second-scene screen for the sampling-cull defaults)."""
     i, j = np.meshgrid(np.arange(w, dtype=np.float32),
                        np.arange(h, dtype=np.float32), indexing="xy")
     dirs = np.stack([(i + 0.5 - w / 2) / focal,
                      -(j + 0.5 - h / 2) / focal,
                      -np.ones_like(i)], -1)
     rays_d = dirs @ c2w[:3, :3].T
-    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
-
-    center = np.array([0.0, 0.0, -4.0])
-    radius = 1.2
-    oc = rays_o - center
-    b = np.sum(oc * rays_d, -1)
-    c = np.sum(oc * oc, -1) - radius ** 2
-    a = np.sum(rays_d * rays_d, -1)
-    disc = b * b - a * c
-    hit = disc > 0
-    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / a, 0.0)
-    pt = rays_o + t[..., None] * rays_d
-    normal = (pt - center) / radius
-    shade = np.clip(normal[..., 2] * 0.5 + 0.5, 0, 1)
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape).copy()
     img = np.stack([0.08 + 0.02 * i / w, 0.08 * np.ones_like(i),
                     0.10 + 0.02 * j / h], -1)
-    sphere_col = np.stack([0.9 * shade, 0.5 * shade + 0.2, 0.3 * shade], -1)
-    img = np.where(hit[..., None], sphere_col, img)
+    light = np.array([0.40824829, 0.81649658, 0.40824829])
+
+    if geometry == "sphere":
+        center = np.array([0.0, 0.0, -4.0])
+        radius = 1.2
+        oc = rays_o - center
+        b = np.sum(oc * rays_d, -1)
+        c = np.sum(oc * oc, -1) - radius ** 2
+        a = np.sum(rays_d * rays_d, -1)
+        disc = b * b - a * c
+        hit = disc > 0
+        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / a, 0.0)
+        pt = rays_o + t[..., None] * rays_d
+        normal = (pt - center) / radius
+        shade = np.clip(normal[..., 2] * 0.5 + 0.5, 0, 1)
+        sphere_col = np.stack([0.9 * shade, 0.5 * shade + 0.2,
+                               0.3 * shade], -1)
+        img = np.where(hit[..., None], sphere_col, img)
+    elif geometry == "boxes":
+        t_best = np.full(i.shape, np.inf)
+        for lo, hi, base in (
+                (np.array([-1.5, -0.9, -4.3]), np.array([-0.3, 0.3, -3.4]),
+                 np.array([0.85, 0.35, 0.25])),
+                (np.array([0.2, -0.5, -5.6]), np.array([1.4, 0.9, -4.6]),
+                 np.array([0.25, 0.55, 0.85]))):
+            hit, tn, normal = _ray_box(rays_o, rays_d, lo, hi)
+            closer = hit & (tn < t_best)
+            shade = np.clip(normal @ light, 0.0, 1.0) * 0.7 + 0.3
+            img = np.where(closer[..., None], base * shade[..., None], img)
+            t_best = np.where(closer, tn, t_best)
+        # ground plane y = -1.1 with a soft two-tone checker
+        denom = np.where(np.abs(rays_d[..., 1]) < 1e-9, 1e-9, rays_d[..., 1])
+        t_pl = (-1.1 - rays_o[..., 1]) / denom
+        pl_hit = (t_pl > 1e-3) & (t_pl < t_best) & (t_pl < 8.0)
+        px = rays_o[..., 0] + t_pl * rays_d[..., 0]
+        pz = rays_o[..., 2] + t_pl * rays_d[..., 2]
+        checker = ((np.floor(px * 1.5) + np.floor(pz * 1.5)) % 2)
+        pl_col = np.where(checker[..., None] > 0.5,
+                          np.array([0.55, 0.5, 0.45]),
+                          np.array([0.35, 0.33, 0.3]))
+        fade = np.clip(1.0 - (t_pl - 3.0) / 6.0, 0.3, 1.0)
+        img = np.where(pl_hit[..., None], pl_col * fade[..., None], img)
+    else:
+        raise ValueError(f"unknown synthetic geometry {geometry!r}")
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
@@ -61,7 +115,8 @@ def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
                          w: int = 32, focal: float = 30.0,
                          poses_per_image: int = 4, exposure_frac: float = 0.5,
                          events_threshold: float = 0.2, seed: int = 0,
-                         rectified_coords: bool = False):
+                         rectified_coords: bool = False,
+                         geometry: str = "sphere"):
     """Write a synthetic scene under ``basedir``; returns a dict of the
     ground-truth arrays for assertions."""
     import cv2
@@ -102,7 +157,8 @@ def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
     # blurry frames: average of renders across the exposure
     sharp, blurry = [], []
     for k in img_knots:
-        subs = [_render_image(c2ws[np.clip(k + d, 0, n_all - 1)], h, w, focal)
+        subs = [_render_image(c2ws[np.clip(k + d, 0, n_all - 1)], h, w,
+                              focal, geometry)
                 for d in (-1, 0, 1)]
         sharp.append(subs[1])
         blurry.append(np.mean(subs, axis=0))
@@ -129,7 +185,7 @@ def make_synthetic_scene(basedir: str, n_imgs: int = 6, h: int = 24,
         c2w = c2ws[k0].copy()
         if k0 + 1 < n_all:
             c2w[:, 3] = (1 - frac) * c2ws[k0][:, 3] + frac * c2ws[k0 + 1][:, 3]
-        img = _render_image(c2w, h, w, focal)
+        img = _render_image(c2w, h, w, focal, geometry)
         log_img = np.log(img @ lum_w + 1e-3)
         if prev_log is not None:
             diff = log_img - prev_log

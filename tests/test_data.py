@@ -288,3 +288,22 @@ def test_spherify_render_path_false_replays_identically():
     np.testing.assert_array_equal(r_full, r_fast)
     np.testing.assert_array_equal(b_full, b_fast)
     assert n_fast is None and n_full is not None
+
+
+def test_boxes_geometry_scene(tmp_path):
+    """The second synthetic geometry (two boxes + ground plane) writes a
+    loadable scene whose images differ structurally from the sphere
+    fixture — used by the second-scene cull screens (PERF_NOTES round 5)."""
+    d = str(tmp_path / "boxes")
+    truth = make_synthetic_scene(d, geometry="boxes")
+    assert truth["n_events"] > 0
+    _, ds = make_llff(d)
+    assert ds.images.shape[0] > 0  # train split of the 6 frames
+    imgs = truth["images"]
+    # multiple occupied islands: left-red box, right-blue box, bright floor
+    left = imgs[:, 8:16, 4:12].mean(axis=(0, 1, 2))
+    right = imgs[:, 6:12, 22:30].mean(axis=(0, 1, 2))
+    assert left[0] > left[2] and right[2] > right[0], (left, right)
+    assert imgs[:, -4:, :].mean() > imgs[:, :4, :].mean()  # floor vs sky
+    sph = make_synthetic_scene(str(tmp_path / "sph"))["images"]
+    assert np.abs(sph - imgs).mean() > 0.02

@@ -31,6 +31,11 @@ def add_scene_args(ap):
     ap.add_argument("--h", type=int, default=96)
     ap.add_argument("--w", type=int, default=128)
     ap.add_argument("--n_imgs", type=int, default=6)
+    ap.add_argument("--geometry", default="sphere",
+                    choices=["sphere", "boxes"],
+                    help="synthetic scene geometry (boxes = two boxes + "
+                         "ground plane; second-scene screen for the "
+                         "sampling-cull defaults)")
     ap.add_argument("--cdavis", action="store_true",
                     help="color-DAVIS path: rectified float event coords + "
                          "ev_map, Bayer one-hot color EGM, color-pos-neg "
@@ -54,7 +59,8 @@ def ensure_scene(args):
         make_synthetic_scene(args.scene, n_imgs=args.n_imgs, h=args.h,
                              w=args.w, focal=float(args.w),
                              poses_per_image=4, seed=0,
-                             rectified_coords=args.cdavis)
+                             rectified_coords=args.cdavis,
+                             geometry=getattr(args, "geometry", "sphere"))
         print("scene written to", args.scene, flush=True)
 
 
