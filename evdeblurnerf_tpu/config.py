@@ -302,6 +302,17 @@ FLAG_SPEC = [
           help="refresh the occupancy grid from the current coarse "
                "density every N steps (also at resume; the grid is "
                "derived state, never checkpointed)"),
+    _flag("occ_gate_margin", float, 1.0,
+          help="budget-sufficiency gate for the coarse cull: at each grid "
+               "refresh the cull engages only while the expected kept-lane "
+               "fraction (occupied_frac + (1-occupied_frac)/probe_stride) "
+               "is <= margin * coarse_cull_capacity — when the learned "
+               "density is still diffuse (early training, or scenes "
+               "without empty space) the capacity budget would decimate "
+               "REAL samples and cost quality (measured -0.8..-1.8 dB on "
+               "the dense synthetic sphere, PERF_NOTES round 5), so the "
+               "step falls back to full coarse sampling until the grid is "
+               "sparse enough. <=0 disables the gate (always engage)"),
     _bool("remat", default=False,
           help="rematerialize render activations in backward; measured "
                "strictly worse than --grad_accum 2 on v5e (PERF_NOTES.md: "

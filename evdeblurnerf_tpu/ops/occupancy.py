@@ -71,3 +71,11 @@ def lookup_bits(grid: jnp.ndarray, xyz: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.take(grid, idx[:, 0] * G + idx[:, 1], axis=0)   # [N, G]
     bits = jnp.take_along_axis(rows, idx[:, 2:3], axis=-1)[:, 0]
     return bits.reshape(shape)
+
+
+def expected_keep_fraction(occupied_frac: float, probe_stride: int) -> float:
+    """Expected fraction of stratified lanes the cull keeps: occupied
+    lanes plus the every-``probe_stride``-th probe floor over the rest
+    (host-side gate arithmetic; see train/loop.py's refresh gating)."""
+    s = max(1, int(probe_stride))
+    return float(occupied_frac) + (1.0 - float(occupied_frac)) / s

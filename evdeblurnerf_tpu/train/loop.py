@@ -455,6 +455,16 @@ def _train_impl(args, max_iters: Optional[int] = None):
         grid = build_occ({"params": state.params["nerf"]})
         return jax.device_put(grid, replicated_sharding(mesh))
 
+    # budget-sufficiency gate (host policy over two static programs): the
+    # cull engages only while the expected kept-lane fraction fits the
+    # capacity budget — on diffuse/dense grids the fixed budget would
+    # decimate REAL samples (measured -0.8..-1.8 dB at 2k iters on the
+    # dense sphere scene, PERF_NOTES round 5). Re-decided at every grid
+    # refresh; both programs are compiled once, switching is free.
+    from ..ops.occupancy import expected_keep_fraction
+    occ_cull_engaged = False
+    occ_frac = float("nan")
+
     N_iters = args.N_iters if max_iters is None else min(args.N_iters,
                                                          start + max_iters)
     # ref run_nerf.py:417: the flags set only the INITIAL value; the 10k
@@ -474,6 +484,18 @@ def _train_impl(args, max_iters: Optional[int] = None):
                                 or (i - args.coarse_cull_start_iter)
                                 % args.occ_refresh_every == 0):
                 occ_grid = refresh_occ_grid(state)
+                occ_frac = float(np.asarray(occ_grid).mean())
+                margin = getattr(args, "occ_gate_margin", 1.0)
+                occ_cull_engaged = (
+                    margin <= 0.0
+                    or expected_keep_fraction(occ_frac, args.occ_probe_stride)
+                    <= margin * args.coarse_cull_capacity)
+                if primary:
+                    logger.scalars(
+                        {"train/occ_frac": occ_frac,
+                         "train/coarse_cull_active":
+                             float(occ_cull_engaged)}, i)
+            coarse_cull = coarse_cull and occ_cull_engaged
             events_active = bool(
                 args.add_event_egm and ev_prefetch is not None
                 and (args.add_event_egm_startiter is None

@@ -174,6 +174,7 @@ def test_train_coarse_cull_smoke(scene, tmp_path):
         N_samples=16, N_importance=16,
         coarse_cull_capacity=0.5, coarse_cull_start_iter=4,
         occ_grid_size=16, occ_refresh_every=8, occ_probe_stride=8,
+        occ_gate_margin=0.0,   # force-engage: this test pins the CULLED step
         fine_cull_capacity=0.25, fine_cull_start_iter=8,
     )
     state = train(args)
@@ -189,6 +190,54 @@ def test_train_coarse_cull_smoke(scene, tmp_path):
             if rec["tag"] == "train/loss":
                 losses.append(rec["value"])
     assert losses and losses[-1] < losses[0]
+
+
+def _cull_active_log(logdir, expname):
+    import json
+
+    frac, active = [], []
+    with open(os.path.join(logdir, expname, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["tag"] == "train/occ_frac":
+                frac.append(rec["value"])
+            elif rec["tag"] == "train/coarse_cull_active":
+                active.append(rec["value"])
+    return frac, active
+
+
+def test_coarse_cull_budget_gate(scene, tmp_path):
+    """The budget-sufficiency gate (PERF_NOTES round 5): the cull engages
+    only while expected_keep_fraction(occ_frac, probe_stride) fits
+    margin * capacity. A tiny margin must disengage it (full coarse
+    sampling, reference behavior); a huge margin must engage it. Both
+    runs log the refresh-time gate decision."""
+    scene_dir, _ = scene
+    common = dict(
+        N_iters=10, i_weights=10 ** 9, i_testset=10 ** 9, i_print=4,
+        N_samples=16, N_importance=16,
+        coarse_cull_capacity=0.5, coarse_cull_start_iter=2,
+        occ_grid_size=16, occ_refresh_every=4, occ_probe_stride=8,
+    )
+    args = tiny_args(scene_dir, str(tmp_path), expname="gate_off",
+                     occ_gate_margin=1e-6, **common)
+    train(args)
+    frac, active = _cull_active_log(str(tmp_path), "gate_off")
+    assert frac and all(0.0 <= f <= 1.0 for f in frac)
+    assert active and all(a == 0.0 for a in active), active
+
+    args = tiny_args(scene_dir, str(tmp_path), expname="gate_on",
+                     occ_gate_margin=1e6, **common)
+    state = train(args)
+    assert int(state.step) == 10
+    _, active = _cull_active_log(str(tmp_path), "gate_on")
+    assert active and all(a == 1.0 for a in active), active
+
+    from evdeblurnerf_tpu.ops.occupancy import expected_keep_fraction
+    assert expected_keep_fraction(0.0, 8) == pytest.approx(0.125)
+    assert expected_keep_fraction(1.0, 8) == pytest.approx(1.0)
+    assert expected_keep_fraction(0.12, 8) == pytest.approx(
+        0.12 + 0.88 / 8)
 
 
 def test_train_tp_smoke(scene, tmp_path):
