@@ -346,6 +346,12 @@ def _build_payload(rays_per_sec, eval_rays_per_sec, chip,
         # sampling)
         "fine_cull_capacity": fine_cull_capacity,
         "coarse_cull_capacity": coarse_cull_capacity,
+        # the production loop engages the coarse cull per-refresh via the
+        # budget-sufficiency gate (train/loop.py, PERF_NOTES round 5); the
+        # bench measures the ENGAGED program — i.e. steady-state throughput
+        # on scenes sparse enough for the gate, and an upper bound on dense
+        # scenes where the gate falls back to full coarse sampling
+        "coarse_cull_gated": bool(coarse_cull_capacity > 0),
         "roofline_rays_per_sec": roofline,
         "roofline_fraction": (round(rays_per_sec / roofline, 3)
                               if roofline else None),
