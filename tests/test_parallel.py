@@ -34,7 +34,7 @@ def _make_rays(n, seed=0):
     return np.stack([rays_o, rays_d], axis=-1)
 
 
-def _setup(cull=False):
+def _setup(cull=False, coarse=False):
     # cull=True uses 16+16 samples so the capacity-0.25 keep budget
     # (max(8, 0.25*32) = 8 < 32) actually culls lanes — at the default
     # 4+4 tiny shape max(8, 2) = 8 = S_all and the cull is a no-op
@@ -57,6 +57,10 @@ def _setup(cull=False):
     cfg = RenderConfig(
         mode="c2f", N_samples=ns, N_importance=ns, use_viewdirs=True,
         fine_cull_capacity=0.25 if cull else 0.0,
+        # coarse cull at 16 samples: Kc = max(8, 0.25*16) = 8 < 16 drops
+        # lanes; tiny 16^3 grid keeps the CPU density sweep cheap
+        coarse_cull_capacity=0.25 if coarse else 0.0,
+        occ_grid_size=16,
         multires=4, multires_views=2, ndc=True, near=0.0, far=1.0,
         H=64, W=80, focal=60.0,
         aabb=((-1.6, -1.6, -1.0), (1.6, 1.6, 1.0)),
@@ -95,11 +99,12 @@ def _make_batches():
     return batch, ev_batch
 
 
-def _run_one_step(n_devices, lane_kernels=False, tp=None, cull=False):
+def _run_one_step(n_devices, lane_kernels=False, tp=None, cull=False,
+                  coarse=False):
     from evdeblurnerf_tpu.ops import lane_shuffle
     from evdeblurnerf_tpu.parallel import tp as tpm
 
-    args, model, crf = _setup(cull=cull)
+    args, model, crf = _setup(cull=cull, coarse=coarse)
     batch, ev_batch = _make_batches()
     if tp:
         mesh = tpm.create_mesh_2d(*tp, devices=jax.devices()[:n_devices])
@@ -123,6 +128,17 @@ def _run_one_step(n_devices, lane_kernels=False, tp=None, cull=False):
     batch = jax.device_put(batch, batch_sharding(mesh))
     ev_batch = jax.device_put(ev_batch, batch_sharding(mesh))
 
+    occ_grid = None
+    if coarse:
+        # derived state exactly as train/loop.py builds it at a refresh:
+        # a pure function of the (replicated) coarse params, so both mesh
+        # sizes derive the identical grid and per-ray selection
+        from evdeblurnerf_tpu.models.system import build_occ_grid
+
+        occ_grid = jax.jit(lambda v: build_occ_grid(model, v))(
+            {"params": jax.device_get(state.params)["nerf"]})
+        occ_grid = jax.device_put(occ_grid, replicated_sharding(mesh))
+
     step_fn = build_train_step(model, crf, tx, args, return_grads=True)
     sw = compute_schedule_weights(
         args, 0, kernel_end_warmup_iter=-1, w_kernel=lambda s: 1.0,
@@ -132,7 +148,8 @@ def _run_one_step(n_devices, lane_kernels=False, tp=None, cull=False):
     try:
         state, aux = step_fn(state, batch, ev_batch, key, sw,
                              force_naive=False, events_active=True,
-                             fine_cull=cull)
+                             fine_cull=cull, coarse_cull=coarse,
+                             occ_grid=occ_grid)
         loss = float(aux["loss"])
         grads = jax.device_get(aux["grads_tree"])
     finally:
@@ -160,6 +177,20 @@ def test_dp_step_culled_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
     loss1, grads1 = _run_one_step(1, cull=True)
     loss8, grads8 = _run_one_step(8, cull=True)
+    assert np.isfinite(loss1)
+    _assert_grads_close(loss1, grads1, loss8, grads8)
+
+
+@pytest.mark.slow
+def test_dp_step_composed_culls_matches_single_device():
+    """Fine cull + occupancy coarse cull TOGETHER — the program a sparse
+    scene runs once the budget gate engages (PERF_NOTES round 5, boxes
+    scene). The occ grid is derived from the same replicated init params
+    on both mesh sizes, so per-ray selection is identical and the
+    8-device DP shard must reproduce the single-device grads."""
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    loss1, grads1 = _run_one_step(1, cull=True, coarse=True)
+    loss8, grads8 = _run_one_step(8, cull=True, coarse=True)
     assert np.isfinite(loss1)
     _assert_grads_close(loss1, grads1, loss8, grads8)
 
