@@ -274,7 +274,7 @@ FLAG_SPEC = [
           help="enable fine culling only from this iteration (early "
                "training has near-uniform transmittance — nothing is "
                "safely cullable and the capacity would clip real samples)"),
-    _flag("coarse_cull_capacity", float, 0.0,
+    _flag("coarse_cull_capacity", float, 0.25,
           help="occupancy-grid culled COARSE sampling (0 = off, reference "
                "behavior): per ray, the coarse pass evaluates only the "
                "capacity*N_samples stratified samples inside occupied "
@@ -282,7 +282,14 @@ FLAG_SPEC = [
                "an every---occ_probe_stride-th-lane probe floor. The "
                "coarse table scatter-backward alone is ~29%% of the "
                "culled step (PERF_NOTES round 4 profile); train-time "
-               "only, eval always full sampling"),
+               "only, eval always full sampling. Default 0.25 is the "
+               "production setting, guarded by the --occ_gate_margin "
+               "budget-sufficiency gate: on scenes sparse enough for the "
+               "gate to engage it is +25.6%% train rays/s and quality-"
+               "neutral (|dPSNR| <= 0.05 dB on the matched boxes-scene "
+               "screen); on dense/diffuse grids the gate falls back to "
+               "full coarse sampling (PERF_NOTES round 5). Set 0 for "
+               "unconditional reference-exact coarse sampling"),
     _flag("coarse_cull_start_iter", int, 1000,
           help="enable coarse culling only from this iteration (the grid "
                "is derived from the still-training coarse density)"),
