@@ -274,22 +274,21 @@ FLAG_SPEC = [
           help="enable fine culling only from this iteration (early "
                "training has near-uniform transmittance — nothing is "
                "safely cullable and the capacity would clip real samples)"),
-    _flag("coarse_cull_capacity", float, 0.25,
+    _flag("coarse_cull_capacity", float, 0.0,
           help="occupancy-grid culled COARSE sampling (0 = off, reference "
-               "behavior): per ray, the coarse pass evaluates only the "
-               "capacity*N_samples stratified samples inside occupied "
-               "voxels of a periodically refreshed occupancy grid, plus "
-               "an every---occ_probe_stride-th-lane probe floor. The "
-               "coarse table scatter-backward alone is ~29%% of the "
-               "culled step (PERF_NOTES round 4 profile); train-time "
-               "only, eval always full sampling. Default 0.25 is the "
-               "production setting, guarded by the --occ_gate_margin "
-               "budget-sufficiency gate: on scenes sparse enough for the "
-               "gate to engage it is +25.6%% train rays/s and quality-"
-               "neutral (|dPSNR| <= 0.05 dB on the matched boxes-scene "
-               "screen); on dense/diffuse grids the gate falls back to "
-               "full coarse sampling (PERF_NOTES round 5). Set 0 for "
-               "unconditional reference-exact coarse sampling"),
+               "behavior — the default): per ray, the coarse pass "
+               "evaluates only the capacity*N_samples stratified samples "
+               "inside occupied voxels of a periodically refreshed "
+               "occupancy grid, plus an every---occ_probe_stride-th-lane "
+               "probe floor. OPT-IN per scene: +25.6%% train rays/s on "
+               "top of the fine cull where the --occ_gate_margin gate "
+               "engages, but the matched 30k boxes-scene screen measured "
+               "it -0.13 dB beyond the fine cull's own delta (-0.25 "
+               "total vs exact at 15k, -0.36 at 30k) — the budget-"
+               "sufficiency gate bounds sample decimation, not late-"
+               "training quality, so this stays off by default "
+               "(PERF_NOTES round 5). Enable only after an A/B on your "
+               "scene; train-time only, eval always full sampling"),
     _flag("coarse_cull_start_iter", int, 1000,
           help="enable coarse culling only from this iteration (the grid "
                "is derived from the still-training coarse density)"),
